@@ -1,0 +1,179 @@
+"""Typed configuration for the TPU-native Real-ESRGAN framework.
+
+The reference drives everything from a mode-switched module of constants
+(/root/reference/config.py:20-158).  We keep that *surface* (see the repo-root
+``config.py``) but back it with frozen dataclasses so that configs are
+hashable, self-documenting, and usable as static arguments to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelSynthesisConfig:
+    """Blur-kernel synthesis parameters.
+
+    Mirrors ``degradation_model_parameters_dict`` in the reference
+    (/root/reference/config.py:20-39).  Kernels are synthesized *on device*
+    per-sample by masked evaluation on a fixed ``pad_to``-sized grid, which is
+    mathematically identical to the reference's generate-then-zero-pad
+    (/root/reference/dataset.py:102-103).
+    """
+
+    pad_to: int = 21                       # "sinc_kernel_size": all kernels padded to this
+    kernel_sizes: Tuple[int, ...] = (7, 9, 11, 13, 15, 17, 19, 21)
+    # type order matches the reference list: isotropic, anisotropic,
+    # generalized_{iso,aniso}, plateau_{iso,aniso}
+    kernel_type_probs1: Tuple[float, ...] = (0.45, 0.25, 0.12, 0.03, 0.12, 0.03)
+    sinc_prob1: float = 0.1
+    sigma_range1: Tuple[float, float] = (0.2, 3.0)
+    generalized_beta_range1: Tuple[float, float] = (0.5, 4.0)
+    plateau_beta_range1: Tuple[float, float] = (1.0, 2.0)
+
+    kernel_type_probs2: Tuple[float, ...] = (0.45, 0.25, 0.12, 0.03, 0.12, 0.03)
+    sinc_prob2: float = 0.1
+    sigma_range2: Tuple[float, float] = (0.2, 1.5)
+    generalized_beta_range2: Tuple[float, float] = (0.5, 4.0)
+    plateau_beta_range2: Tuple[float, float] = (1.0, 2.0)
+
+    final_sinc_prob: float = 0.8           # "sinc_kernel_probability3"
+
+
+@dataclasses.dataclass(frozen=True)
+class DegradationConfig:
+    """Second-order degradation process parameters.
+
+    Mirrors ``degradation_process_parameters_dict``
+    (/root/reference/config.py:41-62).
+    """
+
+    first_blur_prob: float = 1.0
+    resize_probs1: Tuple[float, float, float] = (0.2, 0.7, 0.1)   # up / down / keep
+    resize_range1: Tuple[float, float] = (0.15, 1.5)
+    gray_noise_prob1: float = 0.4
+    gaussian_noise_prob1: float = 0.5
+    noise_range1: Tuple[float, float] = (1.0, 30.0)
+    poisson_scale_range1: Tuple[float, float] = (0.05, 3.0)
+    jpeg_range1: Tuple[float, float] = (30.0, 95.0)
+
+    second_blur_prob: float = 0.8
+    resize_probs2: Tuple[float, float, float] = (0.3, 0.4, 0.3)
+    resize_range2: Tuple[float, float] = (0.3, 1.2)
+    gray_noise_prob2: float = 0.4
+    gaussian_noise_prob2: float = 0.5
+    noise_range2: Tuple[float, float] = (1.0, 25.0)
+    poisson_scale_range2: Tuple[float, float] = (0.05, 2.5)
+    jpeg_range2: Tuple[float, float] = (30.0, 95.0)
+
+    # USM sharpening of the HR target before degradation
+    # (/root/reference/train_realesrnet.py:234,268): radius 51 (50 rounded up
+    # to odd), sigma 0 -> cv2 default sigma, weight 0.5, threshold 10.
+    usm_radius: int = 51
+    usm_weight: float = 0.5
+    usm_threshold: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineGeometry:
+    """Static canvas geometry for the on-device degradation pipeline.
+
+    The reference resizes to data-dependent intermediate shapes
+    (/root/reference/train_realesrnet.py:288,326).  XLA requires static
+    shapes, so every intermediate lives on a fixed canvas with the valid
+    content in the top-left corner and a *traced* valid extent; random-scale
+    resizes are gather-based resamples with traced scales.
+    """
+
+    hr_size: int = 400          # prepared crop size (reference scripts/run.py:17)
+    crop_size: int = 256        # HR training crop (reference config.py:89 image_size)
+    scale: int = 4              # upscale factor
+
+    @property
+    def lr_size(self) -> int:
+        return self.hr_size // self.scale
+
+    @property
+    def lr_crop_size(self) -> int:
+        return self.crop_size // self.scale
+
+    @property
+    def canvas1(self) -> int:
+        """Stage-1 canvas: holds content up to 1.5x the HR size, /16 for JPEG."""
+        return _round_up(int(self.hr_size * 1.5), 16)
+
+    @property
+    def canvas2(self) -> int:
+        """Stage-2 canvas: holds content up to 1.2x the LR size, /16 for JPEG."""
+        return _round_up(int(self.lr_size * 1.2), 16)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    upscale_factor: int = 4
+    num_rrdb: int = 23
+    channels: int = 64
+    growth_channels: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Shared trainer knobs (reference config.py:82-150)."""
+
+    exp_name: str = "RealESRNet_baseline"
+    train_image_dir: str = "./data/DIV2K/Real_ESRGAN/train"
+    valid_image_dir: str = "./data/DIV2K/Real_ESRGAN/valid"
+    test_lr_image_dir: str = "./data/Set5/LRbicx4"
+    test_hr_image_dir: str = "./data/Set5/GTmod12"
+
+    batch_size: int = 48
+    num_workers: int = 4
+    epochs: int = 1298
+    lr: float = 2e-4
+    betas: Tuple[float, float] = (0.9, 0.99)
+    ema_decay: float = 0.999
+    seed: int = 0
+    print_frequency: int = 200
+    resume: str = ""
+
+    # StepLR for ESRNet (step = epochs // 5, gamma 0.5; config.py:105-106)
+    lr_step_size: int = 1298 // 5
+    lr_gamma: float = 0.5
+
+    # bf16 compute (the TPU analogue of the reference's CUDA AMP autocast)
+    use_bfloat16: bool = True
+    # jax.checkpoint each RRDB block during training to bound activation HBM
+    remat_rrdb: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class GanTrainConfig(TrainConfig):
+    """Stage-2 GAN knobs (reference config.py:111-150)."""
+
+    exp_name: str = "RealESRGAN_baseline"
+    epochs: int = 519
+    lr: float = 1e-4
+    resume_d: str = ""
+    resume_g: str = ""
+
+    pixel_weight: float = 1.0
+    content_weights: Tuple[float, ...] = (0.1, 0.1, 1.0, 1.0, 1.0)
+    adversarial_weight: float = 0.1
+
+    # MultiStepLR milestones at 12.5/25/50/75% of epochs, gamma 0.5
+    lr_milestones: Tuple[int, ...] = (
+        int(519 * 0.125), int(519 * 0.250), int(519 * 0.500), int(519 * 0.750))
+    lr_gamma: float = 0.5
+
+    # VGG19 feature nodes used by ContentLoss (reference config.py:131):
+    # features.{2,7,16,25,34} == relu of conv{1_2,2_2,3_4,4_4,5_4}
+    vgg_nodes: Tuple[str, ...] = ("relu1_2", "relu2_2", "relu3_4", "relu4_4", "relu5_4")
+    vgg_weights_path: str = ""   # torchvision vgg19 .pth; random init if empty
