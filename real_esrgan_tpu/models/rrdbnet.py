@@ -6,13 +6,13 @@ trunk, trunk conv + global residual, two nearest-x2-upsample+conv stages,
 two output convs, clamp to [0, 1] — but NHWC layout, bf16-friendly compute
 dtype, and optional per-RRDB rematerialization for training memory.
 
-Parameter names mirror the reference state_dict so the torch->JAX weight
-converter (models/convert.py) is a pure rename+transpose.
+Parameter names mirror the reference state_dict (conv1, trunk_{i}/rdb{j}/
+conv{k}, conv2, upsampling1/2, conv3, conv4) so the torch->JAX weight
+converter (models/convert.py) is a pure rename + OIHW->HWIO transpose.
 """
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Any
 
@@ -23,10 +23,7 @@ from einops import rearrange
 
 
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
-    """PyTorch's default Conv2d init: kaiming_uniform(a=sqrt(5)) on OIHW.
-
-    shape is HWIO here; fan_in = H * W * I.
-    """
+    """PyTorch's default Conv2d init: kaiming_uniform(a=sqrt(5)) on HWIO."""
     fan_in = shape[0] * shape[1] * shape[2]
     bound = math.sqrt(1.0 / fan_in)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
@@ -42,7 +39,7 @@ def torch_conv_bias_init_factory(fan_in: int):
 
 
 def rdb_kernel_init(key, shape, dtype=jnp.float32):
-    """Reference RDB init: kaiming_normal (fan_in, leaky 0 slope) * 0.1
+    """Reference RDB init: kaiming_normal (fan_in mode) * 0.1
     (/root/reference/model.py:100-106)."""
     fan_in = shape[0] * shape[1] * shape[2]
     std = math.sqrt(2.0 / fan_in)
@@ -61,21 +58,16 @@ def _lrelu(x: jnp.ndarray) -> jnp.ndarray:
     return nn.leaky_relu(x, negative_slope=0.2)
 
 
-class _Conv(nn.Module):
-    """3x3 same conv with torch-default or RDB init, bf16 compute."""
-    features: int
-    dtype: Any = jnp.float32
-    use_rdb_init: bool = False
-
-    @nn.compact
-    def __call__(self, x):
-        kernel_init = rdb_kernel_init if self.use_rdb_init else torch_conv_kernel_init
-        fan_in = 9 * x.shape[-1]
-        bias_init = (nn.initializers.zeros if self.use_rdb_init
-                     else torch_conv_bias_init_factory(fan_in))
-        return nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
-                       param_dtype=jnp.float32, kernel_init=kernel_init,
-                       bias_init=bias_init)(x)
+def _conv3x3(x: jnp.ndarray, features: int, name: str, dtype: Any,
+             rdb_init: bool = False) -> jnp.ndarray:
+    """3x3 same conv registered directly under the calling module's scope."""
+    fan_in = 9 * x.shape[-1]
+    kernel_init = rdb_kernel_init if rdb_init else torch_conv_kernel_init
+    bias_init = (nn.initializers.zeros if rdb_init
+                 else torch_conv_bias_init_factory(fan_in))
+    return nn.Conv(features, (3, 3), padding=1, dtype=dtype,
+                   param_dtype=jnp.float32, kernel_init=kernel_init,
+                   bias_init=bias_init, name=name)(x)
 
 
 class ResidualDenseBlock(nn.Module):
@@ -86,14 +78,14 @@ class ResidualDenseBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        conv = functools.partial(_Conv, dtype=self.dtype, use_rdb_init=True)
-        out1 = _lrelu(conv(self.growth, name="conv1")(x))
-        out2 = _lrelu(conv(self.growth, name="conv2")(jnp.concatenate([x, out1], -1)))
-        out3 = _lrelu(conv(self.growth, name="conv3")(jnp.concatenate([x, out1, out2], -1)))
-        out4 = _lrelu(conv(self.growth, name="conv4")(
-            jnp.concatenate([x, out1, out2, out3], -1)))
-        out5 = conv(self.channels, name="conv5")(
-            jnp.concatenate([x, out1, out2, out3, out4], -1))
+        g, d = self.growth, self.dtype
+        out1 = _lrelu(_conv3x3(x, g, "conv1", d, True))
+        out2 = _lrelu(_conv3x3(jnp.concatenate([x, out1], -1), g, "conv2", d, True))
+        out3 = _lrelu(_conv3x3(jnp.concatenate([x, out1, out2], -1), g, "conv3", d, True))
+        out4 = _lrelu(_conv3x3(jnp.concatenate([x, out1, out2, out3], -1), g,
+                               "conv4", d, True))
+        out5 = _conv3x3(jnp.concatenate([x, out1, out2, out3, out4], -1),
+                        self.channels, "conv5", d, True)
         return out5 * jnp.asarray(0.2, out5.dtype) + x
 
 
@@ -130,25 +122,23 @@ class Generator(nn.Module):
         out = pixel_unshuffle(x, factor)
         out = out.astype(self.dtype)
 
-        out1 = _Conv(self.channels, self.dtype, name="conv1")(out)
+        out1 = _conv3x3(out, self.channels, "conv1", self.dtype)
 
-        block_cls = RRDB
-        if self.remat:
-            block_cls = nn.remat(RRDB)
+        block_cls = nn.remat(RRDB) if self.remat else RRDB
         out = out1
         for i in range(self.num_rrdb):
             out = block_cls(self.channels, self.growth, self.dtype,
                             name=f"trunk_{i}")(out)
 
-        out2 = _Conv(self.channels, self.dtype, name="conv2")(out)
+        out2 = _conv3x3(out, self.channels, "conv2", self.dtype)
         out = out1 + out2
 
         for name in ("upsampling1", "upsampling2"):
             b, h, w, c = out.shape
             up = jnp.broadcast_to(out[:, :, None, :, None, :],
                                   (b, h, 2, w, 2, c)).reshape(b, 2 * h, 2 * w, c)
-            out = _lrelu(_Conv(self.channels, self.dtype, name=name)(up))
+            out = _lrelu(_conv3x3(up, self.channels, name, self.dtype))
 
-        out = _lrelu(_Conv(self.channels, self.dtype, name="conv3")(out))
-        out = _Conv(self.out_channels, self.dtype, name="conv4")(out)
+        out = _lrelu(_conv3x3(out, self.channels, "conv3", self.dtype))
+        out = _conv3x3(out, self.out_channels, "conv4", self.dtype)
         return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
