@@ -1,0 +1,195 @@
+"""The full second-order Real-ESRGAN degradation pipeline, fused on-device.
+
+TPU-native re-design of the per-batch degradation prelude in the reference
+trainers (/root/reference/train_realesrnet.py:258-377 and its twin
+train_realesrgan.py:300-457) plus the host-side kernel synthesis + augments
+(/root/reference/dataset.py:64-143):
+
+* Everything — augmentation, USM, kernel synthesis, blur, random resize,
+  noise, JPEG, crop — compiles into ONE jitted function; the host supplies
+  only uint8 HR crops.
+* Random intermediate shapes become traced *valid extents* on static
+  canvases (see ops/resize.resize_dynamic): canvas1 holds up to 1.5x the HR
+  size for the first-stage up-resize, canvas2 up to 1.2x the LR size.
+* Stochastic choices the reference draws once per batch with Python RNG
+  (blur on/off, resize scale+mode, noise family, degradation order coin —
+  train_realesrnet.py:275-371) are drawn PER SAMPLE here: identical marginal
+  distribution, more intra-batch diversity, and no trace-time randomness.
+* Crop alignment: the reference samples the HR corner and floors for LR
+  (imgproc.py:1913-1918), which can misalign the pair by up to
+  (scale-1)/scale HR pixels; we sample the LR corner and multiply, keeping
+  pairs exactly aligned.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from real_esrgan_tpu.configuration import (
+    DegradationConfig, KernelSynthesisConfig, PipelineGeometry,
+)
+from real_esrgan_tpu.ops.augment import (
+    apply_orientation, paired_random_crop, random_orientation,
+)
+from real_esrgan_tpu.ops.blur_kernels import (
+    identity_kernel, random_final_sinc_kernel, random_first_order_kernel,
+    random_second_order_kernel,
+)
+from real_esrgan_tpu.ops.diffjpeg import diff_jpeg
+from real_esrgan_tpu.ops.filter2d import filter2d
+from real_esrgan_tpu.ops.noise import gaussian_noise, poisson_noise
+from real_esrgan_tpu.ops.resize import resize_dynamic
+from real_esrgan_tpu.ops.usm import gaussian_kernel_1d, usm_sharpen
+
+
+def _random_scales(key: jax.Array, batch: int, probs: Tuple[float, float, float],
+                   srange: Tuple[float, float]) -> jnp.ndarray:
+    """Per-sample resize scale: up U(1, hi) / down U(lo, 1) / keep 1
+    (reference train_realesrnet.py:279-286)."""
+    k_kind, k_up, k_dn = jax.random.split(key, 3)
+    kind = jax.random.choice(k_kind, 3, (batch,), p=jnp.asarray(probs, jnp.float32))
+    up = jax.random.uniform(k_up, (batch,), minval=1.0, maxval=srange[1])
+    down = jax.random.uniform(k_dn, (batch,), minval=srange[0], maxval=1.0)
+    return jnp.where(kind == 0, up, jnp.where(kind == 1, down, 1.0))
+
+
+def _batched_resize(images: jnp.ndarray, in_extent: jnp.ndarray,
+                    out_extent: jnp.ndarray, out_canvas: Tuple[int, int],
+                    method_idx: jnp.ndarray) -> jnp.ndarray:
+    """vmap resize_dynamic over the batch with per-sample extents/methods."""
+    return jax.vmap(
+        lambda img, ei, eo, m: resize_dynamic(img, (ei, ei), (eo, eo),
+                                              out_canvas, m)
+    )(images, in_extent, out_extent, method_idx)
+
+
+def _mixed_noise(key: jax.Array, image: jnp.ndarray, gaussian_prob: float,
+                 sigma_range: Tuple[float, float],
+                 poisson_scale_range: Tuple[float, float],
+                 gray_prob: float) -> jnp.ndarray:
+    """Per-sample choice of Gaussian vs Poisson noise, clipped to [0, 1]
+    (reference train_realesrnet.py:291-309)."""
+    b = image.shape[0]
+    k_coin, k_sig, k_sc, k_gray, k_g, k_p = jax.random.split(key, 6)
+    use_gauss = jax.random.uniform(k_coin, (b,)) <= gaussian_prob
+    gray = (jax.random.uniform(k_gray, (b,)) < gray_prob).astype(image.dtype)
+    sigma = jax.random.uniform(k_sig, (b,), minval=sigma_range[0],
+                               maxval=sigma_range[1])
+    scale = jax.random.uniform(k_sc, (b,), minval=poisson_scale_range[0],
+                               maxval=poisson_scale_range[1])
+    n_gauss = gaussian_noise(k_g, image, sigma, gray)
+    n_poisson = poisson_noise(k_p, image, scale, gray)
+    noise = jnp.where(use_gauss.reshape(b, 1, 1, 1), n_gauss, n_poisson)
+    return jnp.clip(image + noise, 0.0, 1.0)
+
+
+def degrade(key: jax.Array,
+            hr_uint8: jnp.ndarray,
+            geo: PipelineGeometry,
+            kcfg: KernelSynthesisConfig,
+            dcfg: DegradationConfig,
+            augment: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Synthesize (lr, hr) training pairs from raw HR uint8 crops, on device.
+
+    Args:
+        key: step RNG key.
+        hr_uint8: (B, hr_size, hr_size, 3) uint8 RGB (or float in [0,1]).
+
+    Returns:
+        lr: (B, lr_crop, lr_crop, 3) float32 in [0, 1].
+        hr: (B, crop, crop, 3) float32 in [0, 1] (raw, un-sharpened target —
+            the reference's loss also targets the raw HR,
+            train_realesrnet.py:377,385).
+    """
+    b = hr_uint8.shape[0]
+    hr_size, lr_size = geo.hr_size, geo.lr_size
+    c1, c2 = geo.canvas1, geo.canvas2
+
+    keys = jax.random.split(key, 16)
+    (k_orient, k_k1, k_k2, k_sinc, k_blur1, k_rs1, k_noise1, k_q1,
+     k_blur2, k_rs2, k_noise2, k_order, k_rs3, k_q2, k_crop, _) = keys
+
+    hr = hr_uint8.astype(jnp.float32)
+    if hr_uint8.dtype == jnp.uint8:
+        hr = hr / 255.0
+
+    if augment:
+        rot, hf, vf = random_orientation(k_orient, b)
+        hr = jax.vmap(apply_orientation)(hr, rot, hf, vf)
+
+    # --- per-sample kernels, synthesized on device ---
+    k1 = jax.vmap(lambda k: random_first_order_kernel(k, kcfg))(
+        jax.random.split(k_k1, b))
+    k2 = jax.vmap(lambda k: random_second_order_kernel(k, kcfg))(
+        jax.random.split(k_k2, b))
+    sinc = jax.vmap(lambda k: random_final_sinc_kernel(k, kcfg))(
+        jax.random.split(k_sinc, b))
+    ident = identity_kernel(kcfg.pad_to)
+
+    usm_kernel = jnp.asarray(gaussian_kernel_1d(dcfg.usm_radius, 0.0))
+    out = usm_sharpen(hr, usm_kernel, dcfg.usm_weight, dcfg.usm_threshold)
+
+    # ---------------- first-order degradation ----------------
+    blur1_on = jax.random.uniform(k_blur1, (b,)) <= dcfg.first_blur_prob
+    k1_eff = jnp.where(blur1_on[:, None, None], k1, ident[None])
+    out = filter2d(out, k1_eff)
+
+    k_s1, k_m1 = jax.random.split(k_rs1)
+    s1 = _random_scales(k_s1, b, dcfg.resize_probs1, dcfg.resize_range1)
+    extent1 = jnp.floor(hr_size * s1).astype(jnp.int32)
+    method1 = jax.random.randint(k_m1, (b,), 0, 3)
+    out = _batched_resize(out, jnp.full((b,), hr_size, jnp.int32), extent1,
+                          (c1, c1), method1)
+
+    out = _mixed_noise(k_noise1, out, dcfg.gaussian_noise_prob1,
+                       dcfg.noise_range1, dcfg.poisson_scale_range1,
+                       dcfg.gray_noise_prob1)
+
+    q1 = jax.random.uniform(k_q1, (b,), minval=dcfg.jpeg_range1[0],
+                            maxval=dcfg.jpeg_range1[1])
+    out = diff_jpeg(jnp.clip(out, 0.0, 1.0), q1)
+
+    # ---------------- second-order degradation ----------------
+    blur2_on = jax.random.uniform(k_blur2, (b,)) < dcfg.second_blur_prob
+    k2_eff = jnp.where(blur2_on[:, None, None], k2, ident[None])
+    out = filter2d(out, k2_eff)
+
+    k_s2, k_m2 = jax.random.split(k_rs2)
+    s2 = _random_scales(k_s2, b, dcfg.resize_probs2, dcfg.resize_range2)
+    extent2 = jnp.floor(lr_size * s2).astype(jnp.int32)
+    method2 = jax.random.randint(k_m2, (b,), 0, 3)
+    out = _batched_resize(out, extent1, extent2, (c2, c2), method2)
+
+    out = _mixed_noise(k_noise2, out, dcfg.gaussian_noise_prob2,
+                       dcfg.noise_range2, dcfg.poisson_scale_range2,
+                       dcfg.gray_noise_prob2)
+
+    # ---------------- final stage: order coin ----------------
+    # branch A: resize -> sinc -> JPEG ; branch B: JPEG -> resize -> sinc
+    # (reference train_realesrnet.py:347-371). Same final resize method and
+    # JPEG quality draw feed both branches; the per-sample coin selects.
+    method3 = jax.random.randint(k_rs3, (b,), 0, 3)
+    q2 = jax.random.uniform(k_q2, (b,), minval=dcfg.jpeg_range2[0],
+                            maxval=dcfg.jpeg_range2[1])
+    final_extent = jnp.full((b,), lr_size, jnp.int32)
+
+    resized_a = _batched_resize(out, extent2, final_extent,
+                                (lr_size, lr_size), method3)
+    branch_a = diff_jpeg(jnp.clip(filter2d(resized_a, sinc), 0.0, 1.0), q2)
+
+    jpeg_b = diff_jpeg(jnp.clip(out, 0.0, 1.0), q2)
+    resized_b = _batched_resize(jpeg_b, extent2, final_extent,
+                                (lr_size, lr_size), method3)
+    branch_b = filter2d(resized_b, sinc)
+
+    coin = jax.random.uniform(k_order, (b,)) < 0.5
+    out = jnp.where(coin[:, None, None, None], branch_a, branch_b)
+
+    # quantize to 8-bit levels (train_realesrnet.py:374)
+    lr = jnp.clip(jnp.round(out * 255.0), 0.0, 255.0) / 255.0
+
+    lr, hr_crop = paired_random_crop(k_crop, lr, hr, geo.crop_size, geo.scale)
+    return lr, hr_crop
