@@ -1,0 +1,74 @@
+"""Single-image x4 super-resolution CLI.
+
+TPU-native counterpart of the reference CLI (/root/reference/inference.py):
+same flags (--inputs_path, --output_path, --weights_path), loads either the
+reference's ``.pth.tar`` checkpoints (weights converted on the fly) or this
+framework's Orbax checkpoints, runs one jitted forward on the default JAX
+device (TPU when present, CPU otherwise).
+"""
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from real_esrgan_tpu.models import Generator
+from real_esrgan_tpu.train.checkpoint import load_generator_params
+from real_esrgan_tpu.utils.imgio import (
+    array_to_image, image_to_array, load_image_rgb, save_image_rgb,
+)
+
+
+def build_generator(upscale_factor: int, num_rrdb: int = 23,
+                    dtype=jnp.float32) -> Generator:
+    return Generator(upscale_factor=upscale_factor, num_rrdb=num_rrdb,
+                     dtype=dtype)
+
+
+def main(args) -> str:
+    model = build_generator(args.upscale_factor,
+                            dtype=jnp.bfloat16 if args.bfloat16 else jnp.float32)
+
+    if args.weights_path and os.path.exists(args.weights_path):
+        params = load_generator_params(args.weights_path)
+        print(f"Loaded `{args.weights_path}` weights.")
+    else:
+        # random init (keeps the CLI runnable without published weights)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 3)))["params"]
+        print("WARNING: no weights file found — using random initialization.")
+
+    lr_image = load_image_rgb(args.inputs_path)
+    lr = jnp.asarray(image_to_array(lr_image))
+
+    apply_fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    t0 = time.time()
+    sr = apply_fn(params, lr)
+    sr.block_until_ready()
+    print(f"SR {lr.shape[1]}x{lr.shape[2]} -> {sr.shape[1]}x{sr.shape[2]} "
+          f"in {time.time() - t0:.3f}s on {jax.devices()[0].platform}")
+
+    save_image_rgb(args.output_path, array_to_image(np.asarray(sr)))
+    print(f"SR image save location: {args.output_path}")
+    return args.output_path
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="Real-ESRGAN x4 single-image super-resolution (TPU-native)")
+    parser.add_argument("--inputs_path", type=str,
+                        default="./figure/tree_lr.png",
+                        help="Path to the low-resolution input image.")
+    parser.add_argument("--output_path", type=str,
+                        default="./figure/tree_sr.png",
+                        help="Where to write the super-resolved image.")
+    parser.add_argument("--weights_path", type=str,
+                        default="./results/pretrained_models/RealESRGAN_x4-DFO2K.pth.tar",
+                        help="Generator weights (.pth.tar or Orbax dir).")
+    parser.add_argument("--upscale_factor", type=int, default=4)
+    parser.add_argument("--bfloat16", action="store_true",
+                        help="Run the trunk in bfloat16 (faster on TPU).")
+    main(parser.parse_args())

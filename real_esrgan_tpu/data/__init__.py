@@ -1,0 +1,4 @@
+from real_esrgan_tpu.data.dataset import (
+    TrainImageDataset, ValidImageDataset, TestImageDataset, ThreadedLoader,
+)
+from real_esrgan_tpu.data.prefetcher import DevicePrefetcher

@@ -1,0 +1,172 @@
+"""Host-side datasets and a threaded batch loader.
+
+Re-design of the reference's dataset layer (/root/reference/dataset.py):
+
+* ``TrainImageDataset`` ships ONLY uint8 HR crops — augmentation, kernel
+  synthesis and the entire degradation chain moved on-device
+  (ops/degradation.py), so host workers just decode PNGs.  The reference
+  instead synthesizes three blur kernels per sample in DataLoader workers
+  (dataset.py:81-141) and ships float32 tensors; shipping uint8 is 4x less
+  host->device traffic.
+* ``ValidImageDataset`` center-crops and makes the bicubic LR pair
+  (dataset.py:145-160) with the MATLAB-exact resize.
+* ``TestImageDataset`` pairs LR/HR directories (dataset.py:166-197).
+* ``ThreadedLoader`` replaces torch's DataLoader + PrefetchGenerator
+  (dataset.py:200-243): a pool of decode threads (cv2 releases the GIL)
+  feeding a bounded queue, assembled into contiguous batches.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from real_esrgan_tpu.ops.resize import matlab_resize
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def _list_images(directory: str) -> List[str]:
+    names = sorted(f for f in os.listdir(directory)
+                   if f.lower().endswith(_IMG_EXTS))
+    if not names:
+        raise FileNotFoundError(f"No images found in {directory}")
+    return [os.path.join(directory, f) for f in names]
+
+
+class TrainImageDataset:
+    """Yields uint8 RGB HR crops of exactly ``hr_size``."""
+
+    def __init__(self, image_dir: str, hr_size: int):
+        self.files = _list_images(image_dir)
+        self.hr_size = hr_size
+
+    def __len__(self):
+        return len(self.files)
+
+    def load(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        bgr = cv2.imread(self.files[index], cv2.IMREAD_COLOR)
+        img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        s = self.hr_size
+        if h < s or w < s:  # reflect-pad small images up to crop size
+            img = cv2.copyMakeBorder(img, 0, max(0, s - h), 0, max(0, s - w),
+                                     cv2.BORDER_REFLECT_101)
+            h, w = img.shape[:2]
+        top = int(rng.integers(0, h - s + 1))
+        left = int(rng.integers(0, w - s + 1))
+        return img[top:top + s, left:left + s]
+
+
+class ValidImageDataset:
+    """Center-crop HR + MATLAB-bicubic LR pairs (reference dataset.py:145-160)."""
+
+    def __init__(self, image_dir: str, crop_size: int, scale: int):
+        self.files = _list_images(image_dir)
+        self.crop_size = crop_size
+        self.scale = scale
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        bgr = cv2.imread(self.files[index], cv2.IMREAD_COLOR)
+        img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        h, w = img.shape[:2]
+        s = min(self.crop_size, (min(h, w) // self.scale) * self.scale)
+        top, left = (h - s) // 2, (w - s) // 2
+        hr = img[top:top + s, left:left + s]
+        lr = np.asarray(matlab_resize(jnp.asarray(hr), 1.0 / self.scale))
+        return {"lr": lr, "hr": hr}
+
+
+class TestImageDataset:
+    """Paired LR/HR directory reader (reference dataset.py:166-197)."""
+
+    def __init__(self, lr_dir: str, hr_dir: str):
+        self.lr_files = _list_images(lr_dir)
+        self.hr_files = [os.path.join(hr_dir, os.path.basename(f))
+                         for f in self.lr_files]
+
+    def __len__(self):
+        return len(self.lr_files)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        def read(path):
+            return cv2.cvtColor(cv2.imread(path, cv2.IMREAD_COLOR),
+                                cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+
+        return {"lr": read(self.lr_files[index]), "hr": read(self.hr_files[index])}
+
+
+class ThreadedLoader:
+    """Shuffling, batching loader with decode worker threads.
+
+    Yields (batch_size, hr_size, hr_size, 3) uint8 arrays per step; drops the
+    ragged tail (the reference sets drop_last=True, dataset.py:153).
+    """
+
+    def __init__(self, dataset: TrainImageDataset, batch_size: int,
+                 num_workers: int = 4, seed: int = 0, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.dataset) // self.batch_size
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        n = len(self.dataset)
+        order = np.random.default_rng(self.seed + self.epoch).permutation(n)
+        self.epoch += 1
+        usable = (n // self.batch_size) * self.batch_size
+        order = order[:usable]
+
+        index_q: "queue.Queue[Optional[int]]" = queue.Queue()
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.batch_size)
+        for idx in order:
+            index_q.put(int(idx))
+        for _ in range(self.num_workers):
+            index_q.put(None)
+
+        def worker(wid: int):
+            rng = np.random.default_rng((self.seed, self.epoch, wid))
+            while True:
+                idx = index_q.get()
+                if idx is None:
+                    out_q.put(None)
+                    return
+                try:
+                    out_q.put(self.dataset.load(idx, rng))
+                except Exception as exc:  # surface decode errors, keep going
+                    out_q.put(exc)
+
+        threads = [threading.Thread(target=worker, args=(i,), daemon=True)
+                   for i in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        finished = 0
+        batch: List[np.ndarray] = []
+        produced = 0
+        while finished < self.num_workers and produced < usable:
+            item = out_q.get()
+            if item is None:
+                finished += 1
+                continue
+            if isinstance(item, Exception):
+                raise item
+            batch.append(item)
+            produced += 1
+            if len(batch) == self.batch_size:
+                yield np.stack(batch)
+                batch = []

@@ -13,8 +13,14 @@ import jax
 
 
 def ema_init(params):
-    """shadow <- params (reference EMA.register, model.py:38-41)."""
-    return jax.tree_util.tree_map(lambda p: p, params)
+    """shadow <- copy(params) (reference EMA.register, model.py:38-41).
+
+    A real copy, not an alias: the train step donates its input state, and
+    aliased params/ema buffers would be donated twice.
+    """
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params)
 
 
 def ema_update(ema, params, decay: float):

@@ -1,0 +1,3 @@
+from real_esrgan_tpu.parallel.mesh import (
+    make_mesh, batch_sharding, replicated_sharding, shard_batch,
+)

@@ -1,0 +1,85 @@
+"""Checkpointing: Orbax trees with the reference's logical payload.
+
+The reference saves ``{epoch, best_niqe, state_dict, ema_state_dict,
+optimizer, scheduler}`` per epoch plus ``g_best``/``g_last`` copies
+(/root/reference/train_realesrnet.py:117-129).  We keep the same payload
+fields (params / ema_params / opt_state / epoch / best_niqe) in an Orbax
+checkpoint directory, maintain best/last via directory copies, and can also
+ingest the reference's ``.pth.tar`` files through models/convert.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from real_esrgan_tpu.models.convert import convert_generator, load_torch_checkpoint
+
+
+def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
+    """Save a pytree payload to an Orbax checkpoint directory."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(payload))
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(path)
+
+
+def copy_checkpoint(src: str, dst: str) -> None:
+    src, dst = os.path.abspath(src), os.path.abspath(dst)
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(src, dst)
+
+
+def load_generator_params(path: str, prefer_ema: bool = True) -> Dict[str, Any]:
+    """Load generator params from either format:
+
+    * reference ``.pth.tar``: uses ``ema_state_dict`` (with ``model.`` prefix
+      strip) when present and preferred, else ``state_dict``
+      (/root/reference/test.py:33-37, inference.py:27-34);
+    * this framework's Orbax checkpoint dirs: ``ema_params`` or ``params``.
+    """
+    if path.endswith((".pth.tar", ".pth", ".tar")):
+        ckpt = load_torch_checkpoint(path)
+        if isinstance(ckpt, dict) and ("state_dict" in ckpt or "ema_state_dict" in ckpt):
+            key = "ema_state_dict" if (prefer_ema and "ema_state_dict" in ckpt) \
+                else "state_dict"
+            return convert_generator(ckpt[key])
+        return convert_generator(ckpt)
+
+    tree = load_checkpoint(path)
+    if "ema_params" in tree and prefer_ema and tree["ema_params"] is not None:
+        return tree["ema_params"]
+    if "params" in tree:
+        return tree["params"]
+    return tree
+
+
+def merge_matching(params: Dict[str, Any], loaded: Dict[str, Any]) -> Dict[str, Any]:
+    """Filtered merge: only leaves whose path+shape match are overwritten —
+    the reference's partial/migration loading semantics
+    (/root/reference/train_realesrnet.py:68-72)."""
+
+    def merge(dst, src):
+        if not isinstance(dst, dict):
+            if src is not None and np.shape(dst) == np.shape(src):
+                return src
+            return dst
+        out = {}
+        for k, v in dst.items():
+            out[k] = merge(v, src.get(k)) if isinstance(src, dict) else v
+        return out
+
+    return merge(params, loaded)

@@ -1,0 +1,100 @@
+"""Stage-1 (RealESRNet) training: one fused, data-parallel jitted step.
+
+Re-design of the reference trainer (/root/reference/train_realesrnet.py):
+the per-batch Python degradation prelude + autocast forward/backward +
+optimizer + EMA (train_realesrnet.py:258-394) become ONE compiled XLA
+program per step — degradation synthesis, bf16 RRDB forward, L1 loss,
+backward, Adam update and EMA all fuse and overlap on the TPU, with the
+batch sharded across the device mesh (gradients all-reduced over ICI by XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from real_esrgan_tpu.configuration import (
+    DegradationConfig, KernelSynthesisConfig, ModelConfig, PipelineGeometry,
+    TrainConfig,
+)
+from real_esrgan_tpu.models import Generator, ema_init, ema_update
+from real_esrgan_tpu.ops.degradation import degrade
+from real_esrgan_tpu.train.schedule import step_lr
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    ema_params: Any
+    opt_state: Any
+
+
+def build_generator(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Generator:
+    return Generator(
+        in_channels=model_cfg.in_channels,
+        out_channels=model_cfg.out_channels,
+        upscale_factor=model_cfg.upscale_factor,
+        num_rrdb=model_cfg.num_rrdb,
+        channels=model_cfg.channels,
+        growth=model_cfg.growth_channels,
+        dtype=jnp.bfloat16 if train_cfg.use_bfloat16 else jnp.float32,
+        remat=train_cfg.remat_rrdb,
+    )
+
+
+def build_optimizer(train_cfg: TrainConfig, steps_per_epoch: int):
+    """Adam(lr, betas=(0.9, 0.99)) + StepLR, as the reference
+    (train_realesrnet.py:197-206)."""
+    schedule = step_lr(train_cfg.lr, train_cfg.lr_step_size, train_cfg.lr_gamma,
+                       steps_per_epoch)
+    return optax.adam(schedule, b1=train_cfg.betas[0], b2=train_cfg.betas[1])
+
+
+def init_state(key: jax.Array, model: Generator, tx,
+               geo: PipelineGeometry) -> TrainState:
+    lr_crop = geo.lr_crop_size
+    params = model.init(key, jnp.zeros((1, lr_crop, lr_crop, 3)))["params"]
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      ema_params=ema_init(params), opt_state=tx.init(params))
+
+
+def make_train_step(model: Generator, tx, geo: PipelineGeometry,
+                    kcfg: KernelSynthesisConfig, dcfg: DegradationConfig,
+                    ema_decay: float) -> Callable:
+    """Returns jitted (state, hr_uint8, key) -> (state, metrics)."""
+
+    def loss_fn(params, lr_batch, hr_batch):
+        sr = model.apply({"params": params}, lr_batch)
+        return jnp.mean(jnp.abs(sr - hr_batch))
+
+    def train_step(state: TrainState, hr_uint8: jnp.ndarray,
+                   key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        k_degrade, _ = jax.random.split(jax.random.fold_in(key, state.step))
+        lr_batch, hr_batch = degrade(k_degrade, hr_uint8, geo, kcfg, dcfg)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, lr_batch, hr_batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(state.ema_params, params, ema_decay)
+
+        new_state = TrainState(step=state.step + 1, params=params,
+                               ema_params=ema_params, opt_state=opt_state)
+        return new_state, {"loss": loss}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_fn(model: Generator) -> Callable:
+    """Jitted SR forward used by validation (EMA weights)."""
+
+    @jax.jit
+    def eval_fn(params, lr_batch):
+        return model.apply({"params": params}, lr_batch)
+
+    return eval_fn

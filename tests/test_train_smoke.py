@@ -1,0 +1,75 @@
+"""Trainer smoke tests on a tiny model + tiny geometry, on the virtual
+8-device CPU mesh: one fused train step runs, loss is finite, params and EMA
+move, state stays replicated, and batches shard across devices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from real_esrgan_tpu.configuration import (
+    DegradationConfig, KernelSynthesisConfig, ModelConfig, PipelineGeometry,
+    TrainConfig,
+)
+from real_esrgan_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+from real_esrgan_tpu.train.esrnet import (
+    build_generator, build_optimizer, init_state, make_eval_fn, make_train_step,
+)
+
+GEO = PipelineGeometry(hr_size=64, crop_size=32, scale=4)
+KCFG = KernelSynthesisConfig()
+DCFG = DegradationConfig(usm_radius=13)
+MODEL = ModelConfig(num_rrdb=1, channels=16, growth_channels=8)
+CFG = TrainConfig(batch_size=8, use_bfloat16=True, remat_rrdb=True)
+
+
+def _tree_l2_diff(a, b):
+    leaves = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x, y: jnp.sum((x - y) ** 2), a, b))
+    return float(sum(leaves))
+
+
+def test_fused_train_step_runs_and_learns():
+    mesh = make_mesh()
+    assert len(mesh.devices.ravel()) == 8
+
+    model = build_generator(MODEL, CFG)
+    tx = build_optimizer(CFG, steps_per_epoch=10)
+    state = init_state(jax.random.PRNGKey(0), model, tx, GEO)
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    step_fn = make_train_step(model, tx, GEO, KCFG, DCFG, CFG.ema_decay)
+
+    rng = np.random.default_rng(0)
+    hr = (rng.random((8, 64, 64, 3)) * 255).astype(np.uint8)
+    hr = jax.device_put(hr, batch_sharding(mesh))
+
+    params0 = jax.device_get(state.params)
+    key = jax.random.PRNGKey(42)
+    state, metrics = step_fn(state, hr, key)
+    loss1 = float(metrics["loss"])
+    state, metrics = step_fn(state, hr, key)
+    loss2 = float(metrics["loss"])
+
+    assert np.isfinite(loss1) and np.isfinite(loss2)
+    assert int(state.step) == 2
+    params2 = jax.device_get(state.params)
+    assert _tree_l2_diff(params0, params2) > 0
+
+    # EMA must lag params but move
+    ema2 = jax.device_get(state.ema_params)
+    d_ema = _tree_l2_diff(params0, ema2)
+    d_par = _tree_l2_diff(params0, params2)
+    assert 0 < d_ema < d_par
+
+    # eval path produces valid SR from EMA weights
+    eval_fn = make_eval_fn(model)
+    sr = eval_fn(state.ema_params, jnp.zeros((1, 8, 8, 3)))
+    assert sr.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.array(sr)).all()
+
+
+def test_train_step_batch_actually_sharded():
+    mesh = make_mesh()
+    hr = np.zeros((8, 64, 64, 3), np.uint8)
+    sharded = jax.device_put(hr, batch_sharding(mesh))
+    assert len(sharded.sharding.device_set) == 8

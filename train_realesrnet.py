@@ -1,0 +1,198 @@
+"""RealESRNet (stage-1) training driver.
+
+TPU-native counterpart of /root/reference/train_realesrnet.py: same epoch
+loop — train, validate (EMA weights + NIQE), checkpoint with best/last copies
+— but the whole inner step (on-device degradation synthesis + bf16 forward/
+backward + Adam + EMA) is one jitted XLA program, data-parallel over a
+``jax.sharding`` device mesh.
+
+Configured by the repo-root ``config.py`` (mode="train_realesrnet"), with CLI
+overrides for smoke tests (--synthetic --steps-per-epoch --epochs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import config as run_config
+from real_esrgan_tpu.data import (
+    DevicePrefetcher, TestImageDataset, ThreadedLoader, TrainImageDataset,
+    ValidImageDataset,
+)
+from real_esrgan_tpu.metrics.niqe import NIQE
+from real_esrgan_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+from real_esrgan_tpu.train import checkpoint as ckpt_lib
+from real_esrgan_tpu.train.esrnet import (
+    TrainState, build_generator, build_optimizer, init_state, make_eval_fn,
+    make_train_step,
+)
+from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
+
+
+class SyntheticHRDataset:
+    """Random uint8 crops — lets the full trainer run without DIV2K."""
+
+    def __init__(self, hr_size: int, length: int = 256, seed: int = 0):
+        self.hr_size = hr_size
+        self.length = length
+        base = np.random.default_rng(seed)
+        self._images = (base.random((8, hr_size, hr_size, 3)) * 255).astype(np.uint8)
+
+    def __len__(self):
+        return self.length
+
+    def load(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        return self._images[index % len(self._images)]
+
+
+def validate(eval_fn, params, dataset, niqe_model, name: str, epoch: int,
+             writer=None) -> float:
+    niqe_meter = AverageMeter("NIQE", ":4.2f")
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        sr = eval_fn(params, jnp.asarray(sample["lr"][None]))
+        score = float(niqe_model(np.asarray(sr))[0])
+        niqe_meter.update(score, 1)
+    print(f"{name}: * NIQE {niqe_meter.avg:4.2f}", flush=True)
+    if writer is not None:
+        writer.add_scalar(f"{name}/NIQE", niqe_meter.avg, epoch + 1)
+    return niqe_meter.avg
+
+
+def main(args) -> None:
+    geo = run_config.geometry
+    kcfg = run_config.kernel_synthesis
+    dcfg = run_config.degradation
+    model_cfg = run_config.model
+    cfg = run_config.train_esrnet
+
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.ravel())
+    batch = args.batch_size or cfg.batch_size
+    if batch % n_dev:
+        batch = (batch // n_dev) * n_dev or n_dev
+        print(f"Adjusted batch size to {batch} for {n_dev} devices.")
+
+    # ---- data ----
+    if args.synthetic:
+        train_ds = SyntheticHRDataset(geo.hr_size,
+                                      length=args.steps_per_epoch * batch)
+        valid_ds, test_ds = [], []
+    else:
+        train_ds = TrainImageDataset(cfg.train_image_dir, geo.hr_size)
+        valid_ds = ValidImageDataset(cfg.valid_image_dir, geo.crop_size, geo.scale)
+        test_ds = TestImageDataset(cfg.test_lr_image_dir, cfg.test_hr_image_dir)
+    loader = ThreadedLoader(train_ds, batch, cfg.num_workers, seed=cfg.seed)
+    steps_per_epoch = len(loader)
+    print(f"Loaded datasets: {len(train_ds)} train images, "
+          f"{steps_per_epoch} steps/epoch, {n_dev} devices.")
+
+    # ---- model / optimizer / state ----
+    model = build_generator(model_cfg, cfg)
+    tx = build_optimizer(cfg, steps_per_epoch)
+    state = init_state(jax.random.PRNGKey(cfg.seed), model, tx, geo)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    print("Build all model successfully.")
+
+    start_epoch, best_niqe = 0, 100.0
+    if args.resume or cfg.resume:
+        path = args.resume or cfg.resume
+        tree = ckpt_lib.load_checkpoint(path)
+        state = TrainState(
+            step=jnp.asarray(tree["step"], jnp.int32),
+            params=ckpt_lib.merge_matching(jax.device_get(state.params), tree["params"]),
+            ema_params=ckpt_lib.merge_matching(jax.device_get(state.ema_params),
+                                               tree["ema_params"]),
+            opt_state=jax.tree_util.tree_map(
+                lambda a, b: b if np.shape(a) == np.shape(b) else a,
+                jax.device_get(state.opt_state), tree["opt_state"]),
+        )
+        state = jax.device_put(state, replicated_sharding(mesh))
+        start_epoch = int(tree.get("epoch", 0))
+        best_niqe = float(tree.get("best_niqe", 100.0))
+        print(f"Resumed from `{path}` at epoch {start_epoch}.")
+
+    train_step = make_train_step(model, tx, geo, kcfg, dcfg, cfg.ema_decay)
+    eval_fn = make_eval_fn(model)
+    niqe_model = NIQE(crop_border=model_cfg.upscale_factor)
+
+    samples_dir = os.path.join("samples", run_config.exp_name)
+    results_dir = os.path.join("results", run_config.exp_name)
+    os.makedirs(samples_dir, exist_ok=True)
+    os.makedirs(results_dir, exist_ok=True)
+    writer = None
+    if not args.no_tensorboard:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(os.path.join("samples", "logs", run_config.exp_name))
+
+    epochs = args.epochs or cfg.epochs
+    data_sharding = batch_sharding(mesh)
+    key = jax.random.PRNGKey(cfg.seed + 1)
+
+    for epoch in range(start_epoch, epochs):
+        batch_time = AverageMeter("Time", ":6.3f")
+        data_time = AverageMeter("Data", ":6.3f")
+        losses = AverageMeter("Loss", ":6.6f")
+        progress = ProgressMeter(steps_per_epoch, [batch_time, data_time, losses],
+                                 prefix=f"Epoch: [{epoch + 1}]")
+        end = time.time()
+
+        prefetcher = DevicePrefetcher(loader, sharding=data_sharding)
+        for batch_index, hr_uint8 in enumerate(prefetcher):
+            data_time.update(time.time() - end)
+            state, metrics = train_step(state, hr_uint8, key)
+            if batch_index % cfg.print_frequency == 0:
+                loss = float(metrics["loss"])  # sync point, only when printing
+                losses.update(loss, batch)
+                if writer is not None:
+                    writer.add_scalar("Train/Loss", loss,
+                                      batch_index + epoch * steps_per_epoch + 1)
+                batch_time.update(time.time() - end)
+                progress.display(batch_index)
+            else:
+                batch_time.update(time.time() - end)
+            end = time.time()
+
+        ema_host = jax.device_get(state.ema_params)
+        if valid_ds:
+            validate(eval_fn, ema_host, valid_ds, niqe_model, "Valid", epoch, writer)
+        niqe = (validate(eval_fn, ema_host, test_ds, niqe_model, "Test", epoch,
+                         writer) if test_ds else 100.0)
+        print("")
+
+        is_best = niqe < best_niqe
+        best_niqe = min(niqe, best_niqe)
+        payload = {
+            "epoch": epoch + 1,
+            "best_niqe": best_niqe,
+            "step": jax.device_get(state.step),
+            "params": jax.device_get(state.params),
+            "ema_params": ema_host,
+            "opt_state": jax.device_get(state.opt_state),
+        }
+        epoch_path = os.path.join(samples_dir, f"g_epoch_{epoch + 1}")
+        ckpt_lib.save_checkpoint(epoch_path, payload)
+        if is_best:
+            ckpt_lib.copy_checkpoint(epoch_path, os.path.join(results_dir, "g_best"))
+        if (epoch + 1) == epochs:
+            ckpt_lib.copy_checkpoint(epoch_path, os.path.join(results_dir, "g_last"))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="RealESRNet stage-1 training (TPU)")
+    parser.add_argument("--epochs", type=int, default=0, help="override config")
+    parser.add_argument("--batch-size", type=int, default=0)
+    parser.add_argument("--resume", type=str, default="")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on random data (smoke test / benchmarking)")
+    parser.add_argument("--steps-per-epoch", type=int, default=8,
+                        help="steps per epoch in --synthetic mode")
+    parser.add_argument("--no-tensorboard", action="store_true")
+    main(parser.parse_args())
