@@ -1,0 +1,153 @@
+"""Stage-2 (RealESRGAN) adversarial training: fused jitted G+D step.
+
+Re-design of the reference GAN trainer (/root/reference/train_realesrgan.py):
+per iteration —
+  G-step: pixel 1.0*L1(usm(sr), hr) + weighted 5-tap VGG content loss on
+          (usm(sr), hr) + 0.1*BCE(D(sr), 1)   (:473-487)
+  D-step: BCE(D(hr), 1) + BCE(D(sr.detach()), 0)  (:498-517)
+  EMA update of G                                  (:521)
+— all compiled into one XLA program, data-parallel over the mesh.  Labels are
+pixel-wise maps (the discriminator is a U-Net emitting per-pixel logits,
+:460-462).
+
+Spectral-norm power-iteration state (flax ``batch_stats``) is updated during
+the D step (the reference's torch spectral_norm updates u on every train-mode
+forward; one net update per iteration is the standard JAX equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from real_esrgan_tpu.configuration import (
+    DegradationConfig, GanTrainConfig, KernelSynthesisConfig, ModelConfig,
+    PipelineGeometry,
+)
+from real_esrgan_tpu.models import (
+    Generator, UNetDiscriminator, ema_update,
+)
+from real_esrgan_tpu.models.vgg import VGG19Features, normalize_imagenet
+from real_esrgan_tpu.models.ema import ema_init
+from real_esrgan_tpu.ops.degradation import degrade
+from real_esrgan_tpu.ops.usm import gaussian_kernel_1d, usm_sharpen
+from real_esrgan_tpu.train.schedule import multistep_lr
+
+
+@flax.struct.dataclass
+class GanTrainState:
+    step: jnp.ndarray
+    g_params: Any
+    g_ema: Any
+    g_opt: Any
+    d_params: Any
+    d_stats: Any
+    d_opt: Any
+
+
+def build_models(model_cfg: ModelConfig, cfg: GanTrainConfig):
+    dtype = jnp.bfloat16 if cfg.use_bfloat16 else jnp.float32
+    generator = Generator(
+        in_channels=model_cfg.in_channels, out_channels=model_cfg.out_channels,
+        upscale_factor=model_cfg.upscale_factor, num_rrdb=model_cfg.num_rrdb,
+        channels=model_cfg.channels, growth=model_cfg.growth_channels,
+        dtype=dtype, remat=cfg.remat_rrdb)
+    discriminator = UNetDiscriminator(dtype=dtype)
+    vgg = VGG19Features(dtype=dtype)
+    return generator, discriminator, vgg
+
+
+def build_optimizers(cfg: GanTrainConfig, steps_per_epoch: int):
+    schedule = multistep_lr(cfg.lr, cfg.lr_milestones, cfg.lr_gamma,
+                            steps_per_epoch)
+    g_tx = optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1])
+    d_tx = optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1])
+    return g_tx, d_tx
+
+
+def init_gan_state(key: jax.Array, generator, discriminator, g_tx, d_tx,
+                   geo: PipelineGeometry) -> GanTrainState:
+    kg, kd = jax.random.split(key)
+    lr_crop, crop = geo.lr_crop_size, geo.crop_size
+    g_params = generator.init(kg, jnp.zeros((1, lr_crop, lr_crop, 3)))["params"]
+    d_vars = discriminator.init(kd, jnp.zeros((1, crop, crop, 3)))
+    return GanTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params, g_ema=ema_init(g_params), g_opt=g_tx.init(g_params),
+        d_params=d_vars["params"], d_stats=d_vars["batch_stats"],
+        d_opt=d_tx.init(d_vars["params"]))
+
+
+def make_gan_train_step(generator, discriminator, vgg, vgg_params,
+                        g_tx, d_tx, geo: PipelineGeometry,
+                        kcfg: KernelSynthesisConfig, dcfg: DegradationConfig,
+                        cfg: GanTrainConfig) -> Callable:
+    """Returns jitted (state, hr_uint8, key) -> (state, metrics)."""
+    content_weights = jnp.asarray(cfg.content_weights, jnp.float32)
+    usm_kernel = jnp.asarray(gaussian_kernel_1d(dcfg.usm_radius, 0.0))
+    bce = optax.sigmoid_binary_cross_entropy
+
+    def content_loss(sr_sharp, hr):
+        sr_f = vgg.apply({"params": vgg_params}, normalize_imagenet(sr_sharp))
+        hr_f = vgg.apply({"params": vgg_params}, normalize_imagenet(hr))
+        taps = jnp.stack([jnp.mean(jnp.abs(a - b)) for a, b in zip(sr_f, hr_f)])
+        return jnp.sum(content_weights * taps)
+
+    def g_loss_fn(g_params, d_params, d_stats, lr_b, hr_b):
+        sr = generator.apply({"params": g_params}, lr_b)
+        sr_sharp = usm_sharpen(sr, usm_kernel, dcfg.usm_weight, dcfg.usm_threshold)
+        pixel = cfg.pixel_weight * jnp.mean(jnp.abs(sr_sharp - hr_b))
+        content = content_loss(sr_sharp, hr_b)
+        logits = discriminator.apply(
+            {"params": d_params, "batch_stats": d_stats}, sr, update_stats=False)
+        adversarial = cfg.adversarial_weight * jnp.mean(
+            bce(logits, jnp.ones_like(logits)))
+        total = pixel + content + adversarial
+        return total, {"sr": sr, "pixel": pixel, "content": content,
+                       "adversarial": adversarial, "g_loss": total}
+
+    def d_loss_fn(d_params, d_stats, sr_detached, hr_b):
+        hr_logits, vs = discriminator.apply(
+            {"params": d_params, "batch_stats": d_stats}, hr_b,
+            update_stats=True, mutable=["batch_stats"])
+        sr_logits, vs2 = discriminator.apply(
+            {"params": d_params, "batch_stats": vs["batch_stats"]}, sr_detached,
+            update_stats=True, mutable=["batch_stats"])
+        d_loss_hr = jnp.mean(bce(hr_logits, jnp.ones_like(hr_logits)))
+        d_loss_sr = jnp.mean(bce(sr_logits, jnp.zeros_like(sr_logits)))
+        loss = d_loss_hr + d_loss_sr
+        aux = {"d_stats": vs2["batch_stats"], "d_loss": loss,
+               "d_hr_prob": jnp.mean(jax.nn.sigmoid(hr_logits)),
+               "d_sr_prob": jnp.mean(jax.nn.sigmoid(sr_logits))}
+        return loss, aux
+
+    def train_step(state: GanTrainState, hr_uint8: jnp.ndarray,
+                   key: jax.Array) -> Tuple[GanTrainState, Dict[str, jnp.ndarray]]:
+        k_degrade, _ = jax.random.split(jax.random.fold_in(key, state.step))
+        lr_b, hr_b = degrade(k_degrade, hr_uint8, geo, kcfg, dcfg)
+
+        # ---- generator step (D frozen: grads only wrt g_params) ----
+        (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params, state.d_params, state.d_stats, lr_b, hr_b)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        g_ema = ema_update(state.g_ema, g_params, cfg.ema_decay)
+
+        # ---- discriminator step on sr.detach() ----
+        sr_detached = jax.lax.stop_gradient(g_aux.pop("sr"))
+        (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params, state.d_stats, sr_detached, hr_b)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+        d_stats = d_aux.pop("d_stats")
+
+        new_state = GanTrainState(step=state.step + 1, g_params=g_params,
+                                  g_ema=g_ema, g_opt=g_opt, d_params=d_params,
+                                  d_stats=d_stats, d_opt=d_opt)
+        return new_state, {**g_aux, **d_aux}
+
+    return jax.jit(train_step, donate_argnums=(0,))

@@ -1,0 +1,206 @@
+"""RealESRGAN (stage-2) adversarial training driver.
+
+TPU-native counterpart of /root/reference/train_realesrgan.py: resumes the
+generator from a stage-1 checkpoint (``resume``), optionally resumes G/D GAN
+checkpoints (``resume_g`` / ``resume_d``, reference :60-109), then runs the
+fused jitted G+D step per batch with GAN meters and dual checkpoints
+(g_* and d_*, reference :155-177).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import config as run_config
+from real_esrgan_tpu.data import (
+    DevicePrefetcher, TestImageDataset, ThreadedLoader, TrainImageDataset,
+    ValidImageDataset,
+)
+from real_esrgan_tpu.metrics.niqe import NIQE
+from real_esrgan_tpu.models.convert import convert_vgg19
+from real_esrgan_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+from real_esrgan_tpu.train import checkpoint as ckpt_lib
+from real_esrgan_tpu.train.esrgan import (
+    GanTrainState, build_models, build_optimizers, init_gan_state,
+    make_gan_train_step,
+)
+from real_esrgan_tpu.train.esrnet import make_eval_fn
+from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
+from train_realesrnet import SyntheticHRDataset, validate
+
+
+def load_vgg_params(vgg, cfg) -> dict:
+    """Pretrained torchvision VGG19 if a local file exists, else random
+    (no downloads in this environment; the loss stays functional either way)."""
+    if cfg.vgg_weights_path and os.path.exists(cfg.vgg_weights_path):
+        import torch
+
+        sd = torch.load(cfg.vgg_weights_path, map_location="cpu")
+        params = convert_vgg19(sd)
+        print(f"Loaded VGG19 weights from `{cfg.vgg_weights_path}`.")
+        return params
+    print("WARNING: no VGG19 weights file — content loss uses random features.")
+    return vgg.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)))["params"]
+
+
+def main(args) -> None:
+    geo = run_config.geometry
+    kcfg = run_config.kernel_synthesis
+    dcfg = run_config.degradation
+    model_cfg = run_config.model
+    cfg = run_config.train_esrgan
+
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.ravel())
+    batch = args.batch_size or cfg.batch_size
+    if batch % n_dev:
+        batch = (batch // n_dev) * n_dev or n_dev
+
+    if args.synthetic:
+        train_ds = SyntheticHRDataset(geo.hr_size,
+                                      length=args.steps_per_epoch * batch)
+        valid_ds, test_ds = [], []
+    else:
+        train_ds = TrainImageDataset(cfg.train_image_dir, geo.hr_size)
+        valid_ds = ValidImageDataset(cfg.valid_image_dir, geo.crop_size, geo.scale)
+        test_ds = TestImageDataset(cfg.test_lr_image_dir, cfg.test_hr_image_dir)
+    loader = ThreadedLoader(train_ds, batch, cfg.num_workers, seed=cfg.seed)
+    steps_per_epoch = len(loader)
+    print(f"Loaded datasets: {len(train_ds)} train images, "
+          f"{steps_per_epoch} steps/epoch, {n_dev} devices.")
+
+    generator, discriminator, vgg = build_models(model_cfg, cfg)
+    g_tx, d_tx = build_optimizers(cfg, steps_per_epoch)
+    state = init_gan_state(jax.random.PRNGKey(cfg.seed), generator,
+                           discriminator, g_tx, d_tx, geo)
+    vgg_params = load_vgg_params(vgg, cfg)
+
+    start_epoch, best_niqe = 0, 100.0
+
+    # 3-way resume (reference train_realesrgan.py:60-109)
+    resume = args.resume or cfg.resume
+    if resume and os.path.exists(os.path.abspath(resume)):
+        g_loaded = ckpt_lib.load_generator_params(resume, prefer_ema=False)
+        state = state.replace(
+            g_params=ckpt_lib.merge_matching(jax.device_get(state.g_params), g_loaded),
+            g_ema=ckpt_lib.merge_matching(jax.device_get(state.g_ema), g_loaded))
+        print(f"Warm-started generator from `{resume}`.")
+    if cfg.resume_g and os.path.exists(os.path.abspath(cfg.resume_g)):
+        tree = ckpt_lib.load_checkpoint(cfg.resume_g)
+        state = state.replace(
+            g_params=tree["params"], g_ema=tree["ema_params"],
+            g_opt=jax.tree_util.tree_map(
+                lambda a, b: b if np.shape(a) == np.shape(b) else a,
+                jax.device_get(state.g_opt), tree["opt_state"]),
+            step=jnp.asarray(tree["step"], jnp.int32))
+        start_epoch = int(tree.get("epoch", 0))
+        best_niqe = float(tree.get("best_niqe", 100.0))
+        print(f"Resumed generator GAN state from `{cfg.resume_g}`.")
+    if cfg.resume_d and os.path.exists(os.path.abspath(cfg.resume_d)):
+        tree = ckpt_lib.load_checkpoint(cfg.resume_d)
+        state = state.replace(d_params=tree["params"], d_stats=tree["batch_stats"],
+                              d_opt=jax.tree_util.tree_map(
+                                  lambda a, b: b if np.shape(a) == np.shape(b) else a,
+                                  jax.device_get(state.d_opt), tree["opt_state"]))
+        print(f"Resumed discriminator from `{cfg.resume_d}`.")
+
+    state = jax.device_put(state, replicated_sharding(mesh))
+    train_step = make_gan_train_step(generator, discriminator, vgg, vgg_params,
+                                     g_tx, d_tx, geo, kcfg, dcfg, cfg)
+    eval_fn = make_eval_fn(generator)
+    niqe_model = NIQE(crop_border=model_cfg.upscale_factor)
+
+    samples_dir = os.path.join("samples", cfg.exp_name)
+    results_dir = os.path.join("results", cfg.exp_name)
+    os.makedirs(samples_dir, exist_ok=True)
+    os.makedirs(results_dir, exist_ok=True)
+    writer = None
+    if not args.no_tensorboard:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(os.path.join("samples", "logs", cfg.exp_name))
+
+    epochs = args.epochs or cfg.epochs
+    data_sharding = batch_sharding(mesh)
+    key = jax.random.PRNGKey(cfg.seed + 1)
+
+    for epoch in range(start_epoch, epochs):
+        meters = {name: AverageMeter(name, ":6.6f") for name in
+                  ("Pixel", "Content", "Adversarial", "D(HR)", "D(SR)")}
+        batch_time = AverageMeter("Time", ":6.3f")
+        progress = ProgressMeter(steps_per_epoch,
+                                 [batch_time, *meters.values()],
+                                 prefix=f"Epoch: [{epoch + 1}]")
+        end = time.time()
+
+        prefetcher = DevicePrefetcher(loader, sharding=data_sharding)
+        for batch_index, hr_uint8 in enumerate(prefetcher):
+            state, metrics = train_step(state, hr_uint8, key)
+            if batch_index % cfg.print_frequency == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                meters["Pixel"].update(m["pixel"], batch)
+                meters["Content"].update(m["content"], batch)
+                meters["Adversarial"].update(m["adversarial"], batch)
+                meters["D(HR)"].update(m["d_hr_prob"], batch)
+                meters["D(SR)"].update(m["d_sr_prob"], batch)
+                if writer is not None:
+                    iters = batch_index + epoch * steps_per_epoch + 1
+                    writer.add_scalar("Train/D_Loss", m["d_loss"], iters)
+                    writer.add_scalar("Train/G_Loss", m["g_loss"], iters)
+                    writer.add_scalar("Train/Pixel_Loss", m["pixel"], iters)
+                    writer.add_scalar("Train/Content_Loss", m["content"], iters)
+                    writer.add_scalar("Train/Adversarial_Loss", m["adversarial"], iters)
+                    writer.add_scalar("Train/D(HR)_Probability", m["d_hr_prob"], iters)
+                    writer.add_scalar("Train/D(SR)_Probability", m["d_sr_prob"], iters)
+                batch_time.update(time.time() - end)
+                progress.display(batch_index)
+            else:
+                batch_time.update(time.time() - end)
+            end = time.time()
+
+        ema_host = jax.device_get(state.g_ema)
+        if valid_ds:
+            validate(eval_fn, ema_host, valid_ds, niqe_model, "Valid", epoch, writer)
+        niqe = (validate(eval_fn, ema_host, test_ds, niqe_model, "Test", epoch,
+                         writer) if test_ds else 100.0)
+        print("")
+
+        is_best = niqe < best_niqe
+        best_niqe = min(niqe, best_niqe)
+
+        g_payload = {"epoch": epoch + 1, "best_niqe": best_niqe,
+                     "step": jax.device_get(state.step),
+                     "params": jax.device_get(state.g_params),
+                     "ema_params": ema_host,
+                     "opt_state": jax.device_get(state.g_opt)}
+        d_payload = {"epoch": epoch + 1, "best_niqe": best_niqe,
+                     "params": jax.device_get(state.d_params),
+                     "batch_stats": jax.device_get(state.d_stats),
+                     "opt_state": jax.device_get(state.d_opt)}
+        g_path = os.path.join(samples_dir, f"g_epoch_{epoch + 1}")
+        d_path = os.path.join(samples_dir, f"d_epoch_{epoch + 1}")
+        ckpt_lib.save_checkpoint(g_path, g_payload)
+        ckpt_lib.save_checkpoint(d_path, d_payload)
+        if is_best:
+            ckpt_lib.copy_checkpoint(g_path, os.path.join(results_dir, "g_best"))
+            ckpt_lib.copy_checkpoint(d_path, os.path.join(results_dir, "d_best"))
+        if (epoch + 1) == epochs:
+            ckpt_lib.copy_checkpoint(g_path, os.path.join(results_dir, "g_last"))
+            ckpt_lib.copy_checkpoint(d_path, os.path.join(results_dir, "d_last"))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="RealESRGAN stage-2 GAN training (TPU)")
+    parser.add_argument("--epochs", type=int, default=0)
+    parser.add_argument("--batch-size", type=int, default=0)
+    parser.add_argument("--resume", type=str, default="")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--steps-per-epoch", type=int, default=8)
+    parser.add_argument("--no-tensorboard", action="store_true")
+    main(parser.parse_args())
