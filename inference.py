@@ -42,16 +42,27 @@ def main(args) -> str:
         print("WARNING: no weights file found — using random initialization.")
 
     lr_image = load_image_rgb(args.inputs_path)
-    lr = jnp.asarray(image_to_array(lr_image))
-
     apply_fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
-    t0 = time.time()
-    sr = apply_fn(params, lr)
-    sr.block_until_ready()
-    print(f"SR {lr.shape[1]}x{lr.shape[2]} -> {sr.shape[1]}x{sr.shape[2]} "
-          f"in {time.time() - t0:.3f}s on {jax.devices()[0].platform}")
 
-    save_image_rgb(args.output_path, array_to_image(np.asarray(sr)))
+    t0 = time.time()
+    if args.tile > 0:
+        # overlap-tile serving: static tile shapes, tile batch sharded over
+        # all devices — the 2K->8K large-image path
+        from real_esrgan_tpu.parallel.tiling import tiled_upscale
+
+        sr_np = tiled_upscale(apply_fn, params, lr_image,
+                              scale=args.upscale_factor, tile=args.tile,
+                              overlap=args.tile_overlap,
+                              tile_batch=args.tile_batch)
+    else:
+        sr = apply_fn(params, jnp.asarray(image_to_array(lr_image)))
+        sr.block_until_ready()
+        sr_np = np.asarray(sr)
+    print(f"SR {lr_image.shape[0]}x{lr_image.shape[1]} -> "
+          f"{sr_np.shape[-3]}x{sr_np.shape[-2]} in {time.time() - t0:.3f}s "
+          f"on {jax.devices()[0].platform}")
+
+    save_image_rgb(args.output_path, array_to_image(sr_np))
     print(f"SR image save location: {args.output_path}")
     return args.output_path
 
@@ -71,4 +82,9 @@ if __name__ == "__main__":
     parser.add_argument("--upscale_factor", type=int, default=4)
     parser.add_argument("--bfloat16", action="store_true",
                         help="Run the trunk in bfloat16 (faster on TPU).")
+    parser.add_argument("--tile", type=int, default=0,
+                        help="Tile size for overlap-tile large-image serving "
+                             "(0 = whole image in one forward).")
+    parser.add_argument("--tile_overlap", type=int, default=16)
+    parser.add_argument("--tile_batch", type=int, default=8)
     main(parser.parse_args())
