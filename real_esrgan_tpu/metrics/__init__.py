@@ -1,1 +1,1 @@
-from real_esrgan_tpu.metrics.niqe import NIQE, niqe_features
+from real_esrgan_tpu.metrics.niqe import NIQE, niqe, niqe_features

@@ -223,3 +223,16 @@ class NIQE:
         feats = niqe_features(jnp.asarray(rgb_nhwc), self.crop_border,
                               self.block_size)
         return self.score_features(np.asarray(feats))
+
+
+def niqe(image_rgb: np.ndarray, crop_border: int = 0,
+         model_path: str = DEFAULT_MODEL_PATH, block_size: int = 96) -> float:
+    """Single-image NIQE convenience (counterpart of the reference's numpy
+    ``niqe()`` entry, image_quality_assessment.py:169-212).
+
+    Args:
+        image_rgb: (H, W, 3) float RGB in [0, 1].
+    """
+    scorer = NIQE(crop_border=crop_border, model_path=model_path,
+                  block_size=block_size)
+    return float(scorer(np.asarray(image_rgb)[None])[0])

@@ -70,23 +70,89 @@ def _conv3x3(x: jnp.ndarray, features: int, name: str, dtype: Any,
                    bias_init=bias_init, name=name)(x)
 
 
+class _ConvParams(nn.Module):
+    """Declares conv kernel+bias with the same param tree as nn.Conv, but
+    returns them raw so the dense block can repack kernels (see below)."""
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", rdb_kernel_init,
+                       (3, 3, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+def _conv_raw(x: jnp.ndarray, kernel: jnp.ndarray, dtype: Any) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResidualDenseBlock(nn.Module):
-    """5-conv dense block with 0.2-scaled residual (model.py:64-106)."""
+    """5-conv dense block with 0.2-scaled residual (model.py:64-106).
+
+    MXU-packed formulation: a concat conv ``conv([x, o1..ok])`` equals the sum
+    of per-source convs with the kernel sliced along its input axis.  Grouping
+    every conv's x-slice into ONE conv (and likewise per o_k) turns five
+    32-output matmuls (25% MXU lane ceiling) into matmuls with 192/160/128/
+    96/64 outputs — identical math, ~3x better systolic-array utilization.
+    Parameter tree is unchanged (conv{1..5}/kernel+bias), so reference
+    checkpoints convert 1:1.
+    """
     channels: int = 64
     growth: int = 32
     dtype: Any = jnp.float32
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x):
-        g, d = self.growth, self.dtype
-        out1 = _lrelu(_conv3x3(x, g, "conv1", d, True))
-        out2 = _lrelu(_conv3x3(jnp.concatenate([x, out1], -1), g, "conv2", d, True))
-        out3 = _lrelu(_conv3x3(jnp.concatenate([x, out1, out2], -1), g, "conv3", d, True))
-        out4 = _lrelu(_conv3x3(jnp.concatenate([x, out1, out2, out3], -1), g,
-                               "conv4", d, True))
-        out5 = _conv3x3(jnp.concatenate([x, out1, out2, out3, out4], -1),
-                        self.channels, "conv5", d, True)
-        return out5 * jnp.asarray(0.2, out5.dtype) + x
+        c, g, d = self.channels, self.growth, self.dtype
+        k1, b1 = _ConvParams(c, g, name="conv1")()
+        k2, b2 = _ConvParams(c + g, g, name="conv2")()
+        k3, b3 = _ConvParams(c + 2 * g, g, name="conv3")()
+        k4, b4 = _ConvParams(c + 3 * g, g, name="conv4")()
+        k5, b5 = _ConvParams(c + 4 * g, c, name="conv5")()
+
+        if not self.packed:
+            def conv(t, k, b):
+                return _conv_raw(t, k, d) + b.astype(d)
+
+            o1 = _lrelu(conv(x, k1, b1))
+            o2 = _lrelu(conv(jnp.concatenate([x, o1], -1), k2, b2))
+            o3 = _lrelu(conv(jnp.concatenate([x, o1, o2], -1), k3, b3))
+            o4 = _lrelu(conv(jnp.concatenate([x, o1, o2, o3], -1), k4, b4))
+            o5 = conv(jnp.concatenate([x, o1, o2, o3, o4], -1), k5, b5)
+            return o5 * jnp.asarray(0.2, o5.dtype) + x
+
+        # packed: one conv per SOURCE, outputs for all consumers at once
+        w_x = jnp.concatenate(
+            [k1, k2[:, :, :c], k3[:, :, :c], k4[:, :, :c], k5[:, :, :c]], -1)
+        w_o1 = jnp.concatenate(
+            [k2[:, :, c:], k3[:, :, c:c + g], k4[:, :, c:c + g],
+             k5[:, :, c:c + g]], -1)
+        w_o2 = jnp.concatenate(
+            [k3[:, :, c + g:], k4[:, :, c + g:c + 2 * g],
+             k5[:, :, c + g:c + 2 * g]], -1)
+        w_o3 = jnp.concatenate(
+            [k4[:, :, c + 2 * g:], k5[:, :, c + 2 * g:c + 3 * g]], -1)
+        w_o4 = k5[:, :, c + 3 * g:]
+
+        base = _conv_raw(x, w_x, d)                       # N = 4g + c (192)
+        o1 = _lrelu(base[..., :g] + b1.astype(d))
+        t2 = _conv_raw(o1, w_o1, d)                       # N = 3g + c (160)
+        o2 = _lrelu(base[..., g:2 * g] + t2[..., :g] + b2.astype(d))
+        t3 = _conv_raw(o2, w_o2, d)                       # N = 2g + c (128)
+        o3 = _lrelu(base[..., 2 * g:3 * g] + t2[..., g:2 * g]
+                    + t3[..., :g] + b3.astype(d))
+        t4 = _conv_raw(o3, w_o3, d)                       # N = g + c (96)
+        o4 = _lrelu(base[..., 3 * g:4 * g] + t2[..., 2 * g:3 * g]
+                    + t3[..., g:2 * g] + t4[..., :g] + b4.astype(d))
+        t5 = _conv_raw(o4, w_o4, d)                       # N = c (64)
+        o5 = (base[..., 4 * g:] + t2[..., 3 * g:] + t3[..., 2 * g:]
+              + t4[..., g:] + t5 + b5.astype(d))
+        return o5 * jnp.asarray(0.2, o5.dtype) + x
 
 
 class RRDB(nn.Module):
@@ -94,12 +160,16 @@ class RRDB(nn.Module):
     channels: int = 64
     growth: int = 32
     dtype: Any = jnp.float32
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x):
-        out = ResidualDenseBlock(self.channels, self.growth, self.dtype, name="rdb1")(x)
-        out = ResidualDenseBlock(self.channels, self.growth, self.dtype, name="rdb2")(out)
-        out = ResidualDenseBlock(self.channels, self.growth, self.dtype, name="rdb3")(out)
+        out = ResidualDenseBlock(self.channels, self.growth, self.dtype,
+                                 self.packed, name="rdb1")(x)
+        out = ResidualDenseBlock(self.channels, self.growth, self.dtype,
+                                 self.packed, name="rdb2")(out)
+        out = ResidualDenseBlock(self.channels, self.growth, self.dtype,
+                                 self.packed, name="rdb3")(out)
         return out * jnp.asarray(0.2, out.dtype) + x
 
 
@@ -113,6 +183,7 @@ class Generator(nn.Module):
     growth: int = 32
     dtype: Any = jnp.float32
     remat: bool = False
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -128,7 +199,7 @@ class Generator(nn.Module):
         out = out1
         for i in range(self.num_rrdb):
             out = block_cls(self.channels, self.growth, self.dtype,
-                            name=f"trunk_{i}")(out)
+                            self.packed, name=f"trunk_{i}")(out)
 
         out2 = _conv3x3(out, self.channels, "conv2", self.dtype)
         out = out1 + out2

@@ -58,3 +58,16 @@ def ycbcr2bgr(image: jnp.ndarray) -> jnp.ndarray:
 def rgb_to_grayscale(image: jnp.ndarray) -> jnp.ndarray:
     """ITU-R 601-2 luma transform, keeps a singleton channel axis."""
     return (image @ _GRAY.astype(image.dtype))[..., None]
+
+
+def expand_y(image_uint8_bgr) -> "np.ndarray":
+    """BGR uint8 (HW C) -> float64 Y-channel in [0, 255] with HWC shape.
+
+    Host-side counterpart of the reference's ``expand_y``
+    (/root/reference/imgproc.py:1690-1712), used by Y-channel metrics.
+    """
+    import numpy as np
+
+    img = np.asarray(image_uint8_bgr).astype(np.float32) / 255.0
+    y = img @ np.array([24.966, 128.553, 65.481]) + 16.0
+    return (y / 255.0)[..., None].astype(np.float64) * 255.0

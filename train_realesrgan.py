@@ -70,7 +70,11 @@ def main(args) -> None:
         train_ds = TrainImageDataset(cfg.train_image_dir, geo.hr_size)
         valid_ds = ValidImageDataset(cfg.valid_image_dir, geo.crop_size, geo.scale)
         test_ds = TestImageDataset(cfg.test_lr_image_dir, cfg.test_hr_image_dir)
-    loader = ThreadedLoader(train_ds, batch, cfg.num_workers, seed=cfg.seed)
+    if args.synthetic:
+        loader = ThreadedLoader(train_ds, batch, cfg.num_workers, seed=cfg.seed)
+    else:
+        from train_realesrnet import make_train_loader
+        loader = make_train_loader(train_ds, batch, cfg, geo)
     steps_per_epoch = len(loader)
     print(f"Loaded datasets: {len(train_ds)} train images, "
           f"{steps_per_epoch} steps/epoch, {n_dev} devices.")

@@ -35,6 +35,24 @@ from real_esrgan_tpu.train.esrnet import (
 from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
 
 
+def make_train_loader(train_ds, batch: int, cfg, geo):
+    """Prefer the C++ decode+crop loader (GIL-free); fall back to Python
+    threads when the native library can't be built."""
+    try:
+        from real_esrgan_tpu.data.native_loader import (
+            NativeThreadedLoader, available,
+        )
+
+        if available():
+            print("Using native C++ data loader.")
+            return NativeThreadedLoader(train_ds.files, batch, geo.hr_size,
+                                        num_threads=cfg.num_workers,
+                                        seed=cfg.seed)
+    except Exception as exc:
+        print(f"Native loader unavailable ({exc}); using Python threads.")
+    return ThreadedLoader(train_ds, batch, cfg.num_workers, seed=cfg.seed)
+
+
 class SyntheticHRDataset:
     """Random uint8 crops — lets the full trainer run without DIV2K."""
 
@@ -84,11 +102,12 @@ def main(args) -> None:
         train_ds = SyntheticHRDataset(geo.hr_size,
                                       length=args.steps_per_epoch * batch)
         valid_ds, test_ds = [], []
+        loader = ThreadedLoader(train_ds, batch, cfg.num_workers, seed=cfg.seed)
     else:
         train_ds = TrainImageDataset(cfg.train_image_dir, geo.hr_size)
         valid_ds = ValidImageDataset(cfg.valid_image_dir, geo.crop_size, geo.scale)
         test_ds = TestImageDataset(cfg.test_lr_image_dir, cfg.test_hr_image_dir)
-    loader = ThreadedLoader(train_ds, batch, cfg.num_workers, seed=cfg.seed)
+        loader = make_train_loader(train_ds, batch, cfg, geo)
     steps_per_epoch = len(loader)
     print(f"Loaded datasets: {len(train_ds)} train images, "
           f"{steps_per_epoch} steps/epoch, {n_dev} devices.")
