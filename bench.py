@@ -62,12 +62,61 @@ def measure(batch: int, lr_size: int, iters: int) -> float:
     return out_mp * iters / dt
 
 
+def measure_train(batch: int, iters: int) -> float:
+    """Full fused train step (degradation + fwd/bwd + Adam + EMA) imgs/sec.
+
+    The state feedback (step i+1 consumes step i's state) forces serial
+    device execution; a single loss fetch at the end closes the timing.
+    """
+    from real_esrgan_tpu.configuration import (
+        DegradationConfig, KernelSynthesisConfig, ModelConfig,
+        PipelineGeometry, TrainConfig,
+    )
+    from real_esrgan_tpu.train.esrnet import (
+        build_generator, build_optimizer, init_state, make_train_step,
+    )
+
+    geo = PipelineGeometry(hr_size=400, crop_size=256, scale=4)
+    model_cfg = ModelConfig()
+    cfg = TrainConfig(batch_size=batch)
+    model = build_generator(model_cfg, cfg)
+    tx = build_optimizer(cfg, steps_per_epoch=100)
+    state = init_state(jax.random.PRNGKey(0), model, tx, geo)
+    step_fn = make_train_step(model, tx, geo, KernelSynthesisConfig(),
+                              DegradationConfig(), cfg.ema_decay)
+
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray((rng.random((batch, 400, 400, 3)) * 255).astype(np.uint8))
+    key = jax.random.PRNGKey(1)
+
+    state, metrics = step_fn(state, hr, key)       # compile + warmup
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, hr, key)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=("inference", "train"), default="inference")
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--lr-size", type=int, default=256)
     p.add_argument("--iters", type=int, default=12)
     a = p.parse_args()
+    if a.mode == "train":
+        imgs_per_s = measure_train(a.batch, a.iters)
+        print(json.dumps({
+            "metric": "x4_train_images_per_sec_per_chip",
+            "value": round(imgs_per_s, 3),
+            "unit": "imgs/s",
+            # A100 estimate: reference bs=48 AMP step ~= fwd+bwd of 2.24
+            # TFLOP/MP * 1MP out * 3 + degradation, at ~25% util -> ~9 imgs/s
+            "vs_baseline": round(imgs_per_s / 9.0, 3),
+        }))
+        return
     mp_per_s = measure(a.batch, a.lr_size, a.iters)
     print(json.dumps({
         "metric": "x4_sr_output_megapixels_per_sec_per_chip",
