@@ -1,4 +1,4 @@
 from real_esrgan_tpu.data.dataset import (
     TrainImageDataset, ValidImageDataset, TestImageDataset, ThreadedLoader,
 )
-from real_esrgan_tpu.data.prefetcher import DevicePrefetcher
+from real_esrgan_tpu.data.prefetcher import CPUPrefetcher, DevicePrefetcher

@@ -15,6 +15,27 @@ from typing import Any, Iterable, Iterator, Optional
 import jax
 
 
+class CPUPrefetcher:
+    """Trivial iterator wrapper (API parity with the reference's
+    CPUPrefetcher, /root/reference/dataset.py:246-268)."""
+
+    def __init__(self, iterable: Iterable):
+        self.iterable = iterable
+        self._it = iter(iterable)
+
+    def __len__(self):
+        return len(self.iterable)
+
+    def next(self):
+        try:
+            return next(self._it)
+        except StopIteration:
+            return None
+
+    def reset(self):
+        self._it = iter(self.iterable)
+
+
 class DevicePrefetcher:
     def __init__(self, iterable: Iterable, buffer_size: int = 2,
                  sharding: Optional[Any] = None):

@@ -4,27 +4,36 @@ The RDB (5 chained 3x3 convs with dense concat, /root/reference/model.py:87-98)
 dominates the generator: 69 instances, ~93% of FLOPs.  Under XLA each conv
 round-trips its activations through HBM (~10 tensor transfers per block); on
 bandwidth-limited parts that — not the MXU — is the wall.  This kernel keeps
-the whole block in VMEM:
+the whole block in VMEM: only the haloed input tile and the T x T x 64 result
+touch HBM (~5x less traffic than the unfused lowering).
 
-* grid over (batch, spatial tiles); the input tile carries a 5-pixel halo on
-  each side (5 chained 3x3 convs shrink by 1 px/conv), zero-padded outside the
-  image by a cheap XLA pad before the call — matching 'same' conv semantics;
-* convs are evaluated as 9 shifted (M, Cin) x (Cin, Cout) MXU matmuls with
-  f32 accumulation;
-* kernels are pre-packed per SOURCE (x, o1..o4) so matmul output widths are
-  192/160/128/96/64 instead of five 32-wide matmuls (see
-  models/rrdbnet.ResidualDenseBlock.packed — identical math);
-* only the input tile and the T x T x 64 result touch HBM: ~5x less traffic
-  than the unfused lowering.
+Design notes (shaped by Mosaic's constraints):
+* grid over (batch, spatial tiles); the input tile carries a 5-pixel halo per
+  side (5 chained 3x3 convs), zero-padded outside the image by an XLA pad
+  before the call — matching 'same' conv semantics;
+* the input's channel dim is zero-padded to a full 128-lane tile (DMA slices
+  must be lane-aligned); the padded K only idles MXU depth K=64 idles anyway;
+* a concat conv ``conv([x, o1..ok])`` is evaluated as per-source convs summed
+  (identical math; avoids lane-dim concats, which Mosaic relayouts);
+* each conv is a 9-iteration fori_loop of (s^2, Cin) x (Cin, Cout) MXU dots
+  with f32 accumulation — small IR so the (remote) Mosaic compiler copes;
+* no lane-dim slicing anywhere: every matmul output is consumed whole.
 
-Forward-only: the training path keeps the XLA formulation (it needs the VJP
-and rematerializes anyway); inference/serving/bench use this kernel.
+STATUS (round 1, measured on v5e via the axon relay): numerically correct
+(bf16-level match vs the flax block) but ~8x SLOWER than the XLA path at
+tile=32 — the channel pad to 128 lanes and the 48x48 halo window amplify the
+per-tile DMA ~4.5x, the (1600, <=128) x (<=128, 32) matmuls underfill the MXU,
+and there is no DMA/compute double buffering yet.  Kept as an experimental
+opt-in (`Generator` does NOT use it); the XLA source-packed formulation in
+models/rrdbnet.py is the production path.  Round-2 plan: 128-sublane tiles
+with f32 scratch economy, double-buffered halo DMA, and lane-major activation
+layout to kill the padding waste.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -33,37 +42,44 @@ from jax.experimental.pallas import tpu as pltpu
 
 HALO = 5        # 5 chained 3x3 convs
 _ALIGN_PAD = 6  # pads the DMA window from t+10 to t+16 (8-sublane aligned)
+_LANE = 128
 
 
-def _conv_tile(x_ref_slice, w_taps, out_size: int, acc_dtype=jnp.float32):
-    """3x3 'valid' conv on a VMEM-resident tile via 9 shifted matmuls.
+def _conv_tile(x, w_taps, out_size: int):
+    """3x3 'valid' conv on a VMEM-resident (S, S, Cin) value.
 
-    x_ref_slice: (S, S, Cin) array (S = out_size + 2).
-    w_taps: (9, Cin, Cout).
-    Returns (out_size, out_size, Cout) in bf16.
+    w_taps: (9, Cin, Cout).  Returns (out_size, out_size, Cout) bf16.
     """
     s = out_size
-    cin = x_ref_slice.shape[-1]
+    cin = x.shape[-1]
     cout = w_taps.shape[-1]
-    acc = jnp.zeros((s * s, cout), acc_dtype)
+
+    # static unroll: dynamic_slice is not lowerable in Pallas TPU
+    acc = jnp.zeros((s * s, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            window = x_ref_slice[dy:dy + s, dx:dx + s, :].reshape(s * s, cin)
-            acc = acc + jnp.dot(window, w_taps[dy * 3 + dx],
-                                preferred_element_type=acc_dtype)
+            flat = x[dy:dy + s, dx:dx + s, :].reshape(s * s, cin)
+            acc = acc + jnp.dot(flat, w_taps[dy * 3 + dx],
+                                preferred_element_type=jnp.float32)
     return acc.reshape(s, s, cout).astype(jnp.bfloat16)
 
 
-def _rdb_kernel(x_hbm, wx_ref, wo1_ref, wo2_ref, wo3_ref, wo4_ref, b_ref,
-                out_ref, x_vmem, dma_sem, *, tile: int, channels: int,
-                growth: int):
+def _lrelu(v):
+    # max/min form: bf16 vector compares are unsupported on this target
+    zero = jnp.zeros((), v.dtype)
+    return jnp.maximum(v, zero) + jnp.asarray(0.2, v.dtype) * jnp.minimum(v, zero)
+
+
+def _crop(v, k: int, size: int):
+    """Spatial center-offset crop v[k:k+size, k:k+size, :] (static)."""
+    return v[k:k + size, k:k + size, :]
+
+
+def _rdb_kernel(x_hbm, w1x, w2x, w2o1, w3x, w3o1, w3o2, w4x, w4o1, w4o2, w4o3,
+                w5x, w5o1, w5o2, w5o3, w5o4, b_ref, out_ref, x_vmem, dma_sem,
+                *, tile: int, channels: int, growth: int):
     t, c, g = tile, channels, growth
 
-    # Overlapping halo windows can't be expressed as BlockSpec blocks; DMA
-    # the halo window for this grid cell from HBM explicitly.  Mosaic needs
-    # the sliced window extents 8-sublane aligned, so the window is
-    # (t + 16)^2 (input is padded accordingly) and the kernel uses the
-    # leading (t+10)^2 region.
     win = t + 2 * HALO + _ALIGN_PAD
     bi = pl.program_id(0)
     ti = pl.program_id(1)
@@ -73,80 +89,76 @@ def _rdb_kernel(x_hbm, wx_ref, wo1_ref, wo2_ref, wo3_ref, wo4_ref, b_ref,
         x_vmem, dma_sem)
     copy.start()
     copy.wait()
-    # channels are zero-padded to a full 128 lane tile (DMA slices must be
-    # lane-aligned); the padded K just idles MXU depth that K=64 would idle
-    # anyway, and wx is zero-padded to match.
     x = x_vmem[:t + 2 * HALO, :t + 2 * HALO, :]       # (t+10, t+10, 128)
 
-    def lrelu(v):
-        # max/min form: bf16 vector compares are unsupported on this target
-        zero = jnp.zeros((), v.dtype)
-        return jnp.maximum(v, zero) + jnp.asarray(0.2, v.dtype) * jnp.minimum(v, zero)
+    b = b_ref[...]
 
-    # base: every conv's x-contribution at once, on the (t+8) grid
-    base = _conv_tile(x, wx_ref[...], t + 8)          # (t+8, t+8, 4g + c)
-
-    b = b_ref[...]                                    # (4g + c,) f32 biases
-    o1 = lrelu(base[..., :g] + b[:g].astype(jnp.bfloat16))
-    t2 = _conv_tile(o1, wo1_ref[...], t + 6)          # (t+6, t+6, 3g + c)
-    o2 = lrelu(base[1:t + 7, 1:t + 7, g:2 * g] + t2[..., :g]
-               + b[g:2 * g].astype(jnp.bfloat16))
-    t3 = _conv_tile(o2, wo2_ref[...], t + 4)          # (t+4, t+4, 2g + c)
-    o3 = lrelu(base[2:t + 6, 2:t + 6, 2 * g:3 * g] + t2[1:t + 5, 1:t + 5, g:2 * g]
-               + t3[..., :g] + b[2 * g:3 * g].astype(jnp.bfloat16))
-    t4 = _conv_tile(o3, wo3_ref[...], t + 2)          # (t+2, t+2, g + c)
-    o4 = lrelu(base[3:t + 5, 3:t + 5, 3 * g:4 * g] + t2[2:t + 4, 2:t + 4, 2 * g:3 * g]
-               + t3[1:t + 3, 1:t + 3, g:2 * g] + t4[..., :g]
-               + b[3 * g:4 * g].astype(jnp.bfloat16))
-    t5 = _conv_tile(o4, wo4_ref[...], t)              # (t, t, c)
-    o5 = (base[4:t + 4, 4:t + 4, 4 * g:] + t2[3:t + 3, 3:t + 3, 3 * g:]
-          + t3[2:t + 2, 2:t + 2, 2 * g:] + t4[1:t + 1, 1:t + 1, g:]
-          + t5 + b[4 * g:].astype(jnp.bfloat16))
+    o1 = _lrelu(_conv_tile(x, w1x[...], t + 8)
+                + b[0:1, :g].astype(jnp.bfloat16))
+    o2 = _lrelu(_crop(_conv_tile(x, w2x[...], t + 8), 1, t + 6)
+                + _conv_tile(o1, w2o1[...], t + 6)
+                + b[1:2, :g].astype(jnp.bfloat16))
+    o3 = _lrelu(_crop(_conv_tile(x, w3x[...], t + 8), 2, t + 4)
+                + _crop(_conv_tile(o1, w3o1[...], t + 6), 1, t + 4)
+                + _conv_tile(o2, w3o2[...], t + 4)
+                + b[2:3, :g].astype(jnp.bfloat16))
+    o4 = _lrelu(_crop(_conv_tile(x, w4x[...], t + 8), 3, t + 2)
+                + _crop(_conv_tile(o1, w4o1[...], t + 6), 2, t + 2)
+                + _crop(_conv_tile(o2, w4o2[...], t + 4), 1, t + 2)
+                + _conv_tile(o3, w4o3[...], t + 2)
+                + b[3:4, :g].astype(jnp.bfloat16))
+    o5 = (_crop(_conv_tile(x, w5x[...], t + 8), 4, t)
+          + _crop(_conv_tile(o1, w5o1[...], t + 6), 3, t)
+          + _crop(_conv_tile(o2, w5o2[...], t + 4), 2, t)
+          + _crop(_conv_tile(o3, w5o3[...], t + 2), 1, t)
+          + _conv_tile(o4, w5o4[...], t)
+          + b[4:5, :c].astype(jnp.bfloat16))
 
     out_ref[0] = (o5 * jnp.asarray(0.2, o5.dtype)
-                  + x[5:t + 5, 5:t + 5, :c])
+                  + _crop(x, HALO, t)[:, :, :c])
 
 
 def pack_rdb_weights(kernels: Sequence[jnp.ndarray],
                      biases: Sequence[jnp.ndarray], channels: int, growth: int):
-    """(k1..k5 HWIO, b1..b5) -> per-source tap-major weights + packed bias."""
+    """(k1..k5 HWIO, b1..b5) -> 15 per-(source, consumer) tap-major weights
+    (x-source weights zero-padded to 128 input lanes) + (5, max-width) bias."""
     c, g = channels, growth
     k1, k2, k3, k4, k5 = kernels
 
-    def taps(w):
-        # (3, 3, I, O) -> (9, I, O)
-        return w.reshape(9, w.shape[2], w.shape[3])
+    def taps(w, pad_to=None):
+        w = w.reshape(9, w.shape[2], w.shape[3])
+        if pad_to is not None and w.shape[1] < pad_to:
+            w = jnp.pad(w, ((0, 0), (0, pad_to - w.shape[1]), (0, 0)))
+        return w.astype(jnp.bfloat16)
 
-    wx = jnp.concatenate(
-        [k1, k2[:, :, :c], k3[:, :, :c], k4[:, :, :c], k5[:, :, :c]], -1)
-    # zero-pad wx's input dim to a full 128 lane tile (see _rdb_kernel)
-    lane = 128
-    if c < lane:
-        wx = jnp.pad(wx, ((0, 0), (0, 0), (0, lane - c), (0, 0)))
-    wo1 = jnp.concatenate(
-        [k2[:, :, c:], k3[:, :, c:c + g], k4[:, :, c:c + g], k5[:, :, c:c + g]], -1)
-    wo2 = jnp.concatenate(
-        [k3[:, :, c + g:], k4[:, :, c + g:c + 2 * g], k5[:, :, c + g:c + 2 * g]], -1)
-    wo3 = jnp.concatenate([k4[:, :, c + 2 * g:], k5[:, :, c + 2 * g:c + 3 * g]], -1)
-    wo4 = k5[:, :, c + 3 * g:]
-    packed_b = jnp.concatenate(biases, -1)            # (4g + c,)
-    bf = jnp.bfloat16
-    return (taps(wx).astype(bf), taps(wo1).astype(bf), taps(wo2).astype(bf),
-            taps(wo3).astype(bf), taps(wo4).astype(bf),
-            packed_b.astype(jnp.float32))
+    weights = (
+        taps(k1, _LANE),                                    # w1x
+        taps(k2[:, :, :c], _LANE), taps(k2[:, :, c:]),      # w2x,  w2o1
+        taps(k3[:, :, :c], _LANE), taps(k3[:, :, c:c + g]),
+        taps(k3[:, :, c + g:]),                             # w3x, w3o1, w3o2
+        taps(k4[:, :, :c], _LANE), taps(k4[:, :, c:c + g]),
+        taps(k4[:, :, c + g:c + 2 * g]), taps(k4[:, :, c + 2 * g:]),
+        taps(k5[:, :, :c], _LANE), taps(k5[:, :, c:c + g]),
+        taps(k5[:, :, c + g:c + 2 * g]), taps(k5[:, :, c + 2 * g:c + 3 * g]),
+        taps(k5[:, :, c + 3 * g:]),
+    )
+    width = max(c, g)
+    bias = jnp.zeros((5, width), jnp.float32)
+    for i, bb in enumerate(biases):
+        bias = bias.at[i, :bb.shape[0]].set(bb.astype(jnp.float32))
+    return weights + (bias,)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
-def fused_rdb(x: jnp.ndarray, packed, tile: int = 64) -> jnp.ndarray:
-    """Apply one fused RDB to (B, H, W, C) bf16 input (H, W % tile == 0)."""
-    wx, wo1, wo2, wo3, wo4, bias = packed
+def fused_rdb(x: jnp.ndarray, packed, tile: int = 32) -> jnp.ndarray:
+    """Apply one fused RDB to (B, H, W, C) input (H, W % tile == 0)."""
+    *weights, bias = packed
     b, h, w, c = x.shape
-    g = (wx.shape[-1] - c) // 4
+    g = weights[2].shape[-1]  # w2o1 output width == growth
 
     x = x.astype(jnp.bfloat16)
-    lane = 128
     xp = jnp.pad(x, ((0, 0), (HALO, HALO + _ALIGN_PAD),
-                     (HALO, HALO + _ALIGN_PAD), (0, max(0, lane - c))))
+                     (HALO, HALO + _ALIGN_PAD), (0, max(0, _LANE - c))))
 
     grid = (b, h // tile, w // tile)
     kernel = functools.partial(_rdb_kernel, tile=tile, channels=c, growth=g)
@@ -155,22 +167,19 @@ def fused_rdb(x: jnp.ndarray, packed, tile: int = 64) -> jnp.ndarray:
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),     # x stays off-chip; DMA'd
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16,
         out_specs=pl.BlockSpec((1, tile, tile, c),
                                lambda bi, ti, tj: (bi, ti, tj, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile + 2 * HALO + _ALIGN_PAD,
-                        tile + 2 * HALO + _ALIGN_PAD, max(c, 128)),
-                       jnp.bfloat16),
+                        tile + 2 * HALO + _ALIGN_PAD, _LANE), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )(xp, wx, wo1, wo2, wo3, wo4, bias)
+        compiler_params=pltpu.CompilerParams(
+            # the unrolled 15-conv chain keeps many intermediates live; give
+            # Mosaic's stack allocator the full VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(xp, *weights, bias)

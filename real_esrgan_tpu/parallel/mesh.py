@@ -18,6 +18,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> bool:
+    """Initialize multi-host JAX when launched under a cluster scheduler.
+
+    After this, jax.devices() spans every chip in the pod/slice set and
+    make_mesh() builds the global data mesh (collectives ride ICI inside a
+    slice, DCN across slices).  No-op on a single host.
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(np.asarray(devices), (axis_name,))
