@@ -102,9 +102,9 @@ def measure_train(batch: int, iters: int) -> float:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=("inference", "train"), default="inference")
-    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr-size", type=int, default=256)
-    p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--iters", type=int, default=10)
     a = p.parse_args()
     if a.mode == "train":
         imgs_per_s = measure_train(a.batch, a.iters)
