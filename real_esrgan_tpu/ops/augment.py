@@ -58,8 +58,11 @@ def paired_random_crop(key: jax.Array, lr: jnp.ndarray, hr: jnp.ndarray,
     b, hr_h, hr_w, _ = hr.shape
     lr_crop = hr_crop // scale
     k_t, k_l = jax.random.split(key)
-    tops = jax.random.randint(k_t, (b,), 0, hr_h - hr_crop + 1)
-    lefts = jax.random.randint(k_l, (b,), 0, hr_w - hr_crop + 1)
+    # sample on the LR grid and scale up so the pair is exactly aligned
+    # (the reference floors an arbitrary HR corner, imgproc.py:1913-1918,
+    # which can misalign the pair by up to scale-1 HR pixels)
+    tops = jax.random.randint(k_t, (b,), 0, (hr_h - hr_crop) // scale + 1) * scale
+    lefts = jax.random.randint(k_l, (b,), 0, (hr_w - hr_crop) // scale + 1) * scale
 
     def crop_one(lr_i, hr_i, top, left):
         lr_patch = jax.lax.dynamic_slice(
