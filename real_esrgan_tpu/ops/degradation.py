@@ -11,10 +11,15 @@ train_realesrgan.py:300-457) plus the host-side kernel synthesis + augments
 * Random intermediate shapes become traced *valid extents* on static
   canvases (see ops/resize.resize_dynamic): canvas1 holds up to 1.5x the HR
   size for the first-stage up-resize, canvas2 up to 1.2x the LR size.
-* Stochastic choices the reference draws once per batch with Python RNG
-  (blur on/off, resize scale+mode, noise family, degradation order coin —
-  train_realesrnet.py:275-371) are drawn PER SAMPLE here: identical marginal
-  distribution, more intra-batch diversity, and no trace-time randomness.
+* Stochastic choices split by cost. CHEAP randomness (resize scales, noise
+  strengths, gray masks, JPEG qualities, blur kernels, crops, orientation) is
+  drawn PER SAMPLE — identical marginals to the reference, more intra-batch
+  diversity, and it never multiplies compute.  EXPENSIVE structural choices
+  (interpolation mode, Gaussian-vs-Poisson family, second blur on/off, the
+  final order coin) are drawn PER BATCH as traced scalars through
+  lax.cond/switch — exactly the granularity the reference uses with Python
+  RNG (train_realesrnet.py:275-371), and only the chosen branch executes
+  (a traced per-sample choice would evaluate every branch and select).
 * Crop alignment: the reference samples the HR corner and floors for LR
   (imgproc.py:1913-1918), which can misalign the pair by up to
   (scale-1)/scale HR pixels; we sample the LR corner and multiply, keeping
@@ -41,7 +46,7 @@ from real_esrgan_tpu.ops.blur_kernels import (
 from real_esrgan_tpu.ops.diffjpeg import diff_jpeg
 from real_esrgan_tpu.ops.filter2d import filter2d
 from real_esrgan_tpu.ops.noise import gaussian_noise, poisson_noise
-from real_esrgan_tpu.ops.resize import resize_dynamic
+from real_esrgan_tpu.ops.resize import resize_dynamic_static_method
 from real_esrgan_tpu.ops.usm import gaussian_kernel_1d, usm_sharpen
 
 
@@ -59,30 +64,42 @@ def _random_scales(key: jax.Array, batch: int, probs: Tuple[float, float, float]
 def _batched_resize(images: jnp.ndarray, in_extent: jnp.ndarray,
                     out_extent: jnp.ndarray, out_canvas: Tuple[int, int],
                     method_idx: jnp.ndarray) -> jnp.ndarray:
-    """vmap resize_dynamic over the batch with per-sample extents/methods."""
-    return jax.vmap(
-        lambda img, ei, eo, m: resize_dynamic(img, (ei, ei), (eo, eo),
-                                              out_canvas, m)
-    )(images, in_extent, out_extent, method_idx)
+    """Per-sample extents, per-BATCH interpolation mode: the traced scalar
+    ``method_idx`` selects ONE compiled branch via lax.switch (outside the
+    vmap, so the other two modes never execute)."""
+
+    def for_method(m):
+        def f(imgs):
+            return jax.vmap(
+                lambda img, ei, eo: resize_dynamic_static_method(
+                    img, (ei, ei), (eo, eo), out_canvas, m)
+            )(imgs, in_extent, out_extent)
+        return f
+
+    return jax.lax.switch(method_idx, [for_method(0), for_method(1),
+                                       for_method(2)], images)
 
 
 def _mixed_noise(key: jax.Array, image: jnp.ndarray, gaussian_prob: float,
                  sigma_range: Tuple[float, float],
                  poisson_scale_range: Tuple[float, float],
                  gray_prob: float) -> jnp.ndarray:
-    """Per-sample choice of Gaussian vs Poisson noise, clipped to [0, 1]
-    (reference train_realesrnet.py:291-309)."""
+    """Gaussian-vs-Poisson chosen per batch (reference
+    train_realesrnet.py:291-309); strengths and gray masks per sample.
+    Only the chosen family's sampler runs (lax.cond)."""
     b = image.shape[0]
-    k_coin, k_sig, k_sc, k_gray, k_g, k_p = jax.random.split(key, 6)
-    use_gauss = jax.random.uniform(k_coin, (b,)) <= gaussian_prob
+    k_coin, k_sig, k_sc, k_gray, k_n = jax.random.split(key, 5)
+    use_gauss = jax.random.uniform(k_coin) <= gaussian_prob
     gray = (jax.random.uniform(k_gray, (b,)) < gray_prob).astype(image.dtype)
     sigma = jax.random.uniform(k_sig, (b,), minval=sigma_range[0],
                                maxval=sigma_range[1])
     scale = jax.random.uniform(k_sc, (b,), minval=poisson_scale_range[0],
                                maxval=poisson_scale_range[1])
-    n_gauss = gaussian_noise(k_g, image, sigma, gray)
-    n_poisson = poisson_noise(k_p, image, scale, gray)
-    noise = jnp.where(use_gauss.reshape(b, 1, 1, 1), n_gauss, n_poisson)
+    noise = jax.lax.cond(
+        use_gauss,
+        lambda img: gaussian_noise(k_n, img, sigma, gray),
+        lambda img: poisson_noise(k_n, img, scale, gray),
+        image)
     return jnp.clip(image + noise, 0.0, 1.0)
 
 
@@ -133,6 +150,7 @@ def degrade(key: jax.Array,
     out = usm_sharpen(hr, usm_kernel, dcfg.usm_weight, dcfg.usm_threshold)
 
     # ---------------- first-order degradation ----------------
+    # per-sample blur gate via identity-kernel select (prob 1.0 by default)
     blur1_on = jax.random.uniform(k_blur1, (b,)) <= dcfg.first_blur_prob
     k1_eff = jnp.where(blur1_on[:, None, None], k1, ident[None])
     out = filter2d(out, k1_eff)
@@ -140,7 +158,7 @@ def degrade(key: jax.Array,
     k_s1, k_m1 = jax.random.split(k_rs1)
     s1 = _random_scales(k_s1, b, dcfg.resize_probs1, dcfg.resize_range1)
     extent1 = jnp.floor(hr_size * s1).astype(jnp.int32)
-    method1 = jax.random.randint(k_m1, (b,), 0, 3)
+    method1 = jax.random.randint(k_m1, (), 0, 3)       # per batch
     out = _batched_resize(out, jnp.full((b,), hr_size, jnp.int32), extent1,
                           (c1, c1), method1)
 
@@ -153,40 +171,43 @@ def degrade(key: jax.Array,
     out = diff_jpeg(jnp.clip(out, 0.0, 1.0), q1)
 
     # ---------------- second-order degradation ----------------
-    blur2_on = jax.random.uniform(k_blur2, (b,)) < dcfg.second_blur_prob
-    k2_eff = jnp.where(blur2_on[:, None, None], k2, ident[None])
-    out = filter2d(out, k2_eff)
+    # second blur applied per batch with prob 0.8 (reference :313); skipping
+    # it entirely (lax.cond) saves a 21x21 depthwise pass on the big canvas
+    blur2_coin = jax.random.uniform(k_blur2) < dcfg.second_blur_prob
+    out = jax.lax.cond(blur2_coin, lambda v: filter2d(v, k2),
+                       lambda v: v, out)
 
     k_s2, k_m2 = jax.random.split(k_rs2)
     s2 = _random_scales(k_s2, b, dcfg.resize_probs2, dcfg.resize_range2)
     extent2 = jnp.floor(lr_size * s2).astype(jnp.int32)
-    method2 = jax.random.randint(k_m2, (b,), 0, 3)
+    method2 = jax.random.randint(k_m2, (), 0, 3)       # per batch
     out = _batched_resize(out, extent1, extent2, (c2, c2), method2)
 
     out = _mixed_noise(k_noise2, out, dcfg.gaussian_noise_prob2,
                        dcfg.noise_range2, dcfg.poisson_scale_range2,
                        dcfg.gray_noise_prob2)
 
-    # ---------------- final stage: order coin ----------------
+    # ---------------- final stage: order coin (per batch) ----------------
     # branch A: resize -> sinc -> JPEG ; branch B: JPEG -> resize -> sinc
-    # (reference train_realesrnet.py:347-371). Same final resize method and
-    # JPEG quality draw feed both branches; the per-sample coin selects.
-    method3 = jax.random.randint(k_rs3, (b,), 0, 3)
+    # (reference train_realesrnet.py:347-371)
+    method3 = jax.random.randint(k_rs3, (), 0, 3)
     q2 = jax.random.uniform(k_q2, (b,), minval=dcfg.jpeg_range2[0],
                             maxval=dcfg.jpeg_range2[1])
     final_extent = jnp.full((b,), lr_size, jnp.int32)
 
-    resized_a = _batched_resize(out, extent2, final_extent,
-                                (lr_size, lr_size), method3)
-    branch_a = diff_jpeg(jnp.clip(filter2d(resized_a, sinc), 0.0, 1.0), q2)
+    def branch_a(v):
+        resized = _batched_resize(v, extent2, final_extent,
+                                  (lr_size, lr_size), method3)
+        return diff_jpeg(jnp.clip(filter2d(resized, sinc), 0.0, 1.0), q2)
 
-    jpeg_b = diff_jpeg(jnp.clip(out, 0.0, 1.0), q2)
-    resized_b = _batched_resize(jpeg_b, extent2, final_extent,
-                                (lr_size, lr_size), method3)
-    branch_b = filter2d(resized_b, sinc)
+    def branch_b(v):
+        jpeged = diff_jpeg(jnp.clip(v, 0.0, 1.0), q2)
+        resized = _batched_resize(jpeged, extent2, final_extent,
+                                  (lr_size, lr_size), method3)
+        return filter2d(resized, sinc)
 
-    coin = jax.random.uniform(k_order, (b,)) < 0.5
-    out = jnp.where(coin[:, None, None, None], branch_a, branch_b)
+    coin = jax.random.uniform(k_order) < 0.5
+    out = jax.lax.cond(coin, branch_a, branch_b, out)
 
     # quantize to 8-bit levels (train_realesrnet.py:374)
     lr = jnp.clip(jnp.round(out * 255.0), 0.0, 255.0) / 255.0

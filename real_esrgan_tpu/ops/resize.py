@@ -200,6 +200,26 @@ def _axis_area(x: jnp.ndarray, n_in, n_out, out_size: int, axis: int) -> jnp.nda
 METHOD_AREA, METHOD_BILINEAR, METHOD_BICUBIC = 0, 1, 2
 
 
+def resize_dynamic_static_method(image: jnp.ndarray,
+                                 in_extent, out_extent,
+                                 out_canvas: Tuple[int, int],
+                                 method: int) -> jnp.ndarray:
+    """resize_dynamic with a STATIC method index (single branch compiled).
+
+    Use this when the interpolation mode is chosen per batch (as the
+    reference does, train_realesrnet.py:287) — under a traced per-sample
+    switch all three methods execute and get masked, tripling the cost.
+    """
+    h2, w2 = out_canvas
+    h_in = jnp.asarray(in_extent[0], jnp.float32)
+    w_in = jnp.asarray(in_extent[1], jnp.float32)
+    h_out = jnp.asarray(out_extent[0], jnp.float32)
+    w_out = jnp.asarray(out_extent[1], jnp.float32)
+    fn = (_axis_area, _axis_linear, _axis_cubic)[method]
+    y = fn(image, h_in, h_out, h2, 0)
+    return fn(y, w_in, w_out, w2, 1)
+
+
 def resize_dynamic(image: jnp.ndarray,
                    in_extent: Tuple[jnp.ndarray, jnp.ndarray],
                    out_extent: Tuple[jnp.ndarray, jnp.ndarray],
