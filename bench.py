@@ -78,7 +78,8 @@ def measure_train(batch: int, iters: int) -> float:
 
     geo = PipelineGeometry(hr_size=400, crop_size=256, scale=4)
     model_cfg = ModelConfig()
-    cfg = TrainConfig(batch_size=batch)
+    # remat off: bs<=16 activations fit HBM (real bs48 training keeps remat)
+    cfg = TrainConfig(batch_size=batch, remat_rrdb=False)
     model = build_generator(model_cfg, cfg)
     tx = build_optimizer(cfg, steps_per_epoch=100)
     state = init_state(jax.random.PRNGKey(0), model, tx, geo)
@@ -102,10 +103,12 @@ def measure_train(batch: int, iters: int) -> float:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=("inference", "train"), default="inference")
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--batch", type=int, default=0, help="0 = mode default (8 inference / 16 train)")
     p.add_argument("--lr-size", type=int, default=256)
     p.add_argument("--iters", type=int, default=10)
     a = p.parse_args()
+    if not a.batch:
+        a.batch = 16 if a.mode == "train" else 8
     if a.mode == "train":
         imgs_per_s = measure_train(a.batch, a.iters)
         print(json.dumps({
