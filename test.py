@@ -12,13 +12,10 @@ optional CLI overrides.
 import argparse
 import os
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from real_esrgan_tpu.metrics.niqe import DEFAULT_MODEL_PATH, NIQE
-from real_esrgan_tpu.models import Generator
-from real_esrgan_tpu.train.checkpoint import load_generator_params
+from real_esrgan_tpu.serve import SRPipeline
 from real_esrgan_tpu.utils.imgio import (
     array_to_image, load_image_rgb, natsorted_files, save_image_rgb,
 )
@@ -26,18 +23,15 @@ from real_esrgan_tpu.utils.meters import AverageMeter
 
 
 def main(args) -> float:
-    model = Generator(upscale_factor=args.upscale_factor,
-                      dtype=jnp.bfloat16 if args.bfloat16 else jnp.float32)
-
-    if args.model_path and os.path.exists(args.model_path):
-        params = load_generator_params(args.model_path, prefer_ema=True)
-        print(f"Loaded `{args.model_path}` weights.")
-    else:
-        params = model.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, 32, 32, 3)))["params"]
+    pipeline = SRPipeline(
+        weights_path=args.model_path if (args.model_path and
+                                         os.path.exists(args.model_path)) else "",
+        upscale_factor=args.upscale_factor, bfloat16=args.bfloat16)
+    if not (args.model_path and os.path.exists(args.model_path)):
         print("WARNING: no weights file found — using random initialization.")
+    else:
+        print(f"Loaded `{args.model_path}` weights.")
 
-    apply_fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
     niqe_model = NIQE(crop_border=args.upscale_factor,
                       model_path=args.niqe_model_path)
 
@@ -47,8 +41,8 @@ def main(args) -> float:
     files = natsorted_files(args.lr_dir)
     for index, path in enumerate(files):
         lr_image = load_image_rgb(path)
-        sr = apply_fn(params, jnp.asarray(lr_image[None]))
-        sr_np = np.asarray(sr)
+        # bucketed shapes bound recompiles across differently-sized images
+        sr_np = pipeline.upscale(lr_image)[None]
 
         out_path = os.path.join(args.sr_dir, os.path.basename(path))
         save_image_rgb(out_path, array_to_image(sr_np))
