@@ -93,7 +93,7 @@ if mode == "train_realesrnet":
     model_lr = train_esrnet.lr
     model_betas = train_esrnet.betas
     ema_model_weight_decay = train_esrnet.ema_decay
-    lr_scheduler_step_size = train_esrnet.lr_step_size
+    lr_scheduler_step_size = train_esrnet.effective_lr_step_size
     lr_scheduler_gamma = train_esrnet.lr_gamma
     print_frequency = train_esrnet.print_frequency
 
@@ -116,7 +116,7 @@ if mode == "train_realesrgan":
     model_lr = train_esrgan.lr
     model_betas = train_esrgan.betas
     ema_model_weight_decay = train_esrgan.ema_decay
-    lr_scheduler_milestones = list(train_esrgan.lr_milestones)
+    lr_scheduler_milestones = list(train_esrgan.effective_lr_milestones)
     lr_scheduler_gamma = train_esrgan.lr_gamma
     print_frequency = train_esrgan.print_frequency
 

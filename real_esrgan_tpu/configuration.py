@@ -144,9 +144,15 @@ class TrainConfig:
     print_frequency: int = 200
     resume: str = ""
 
-    # StepLR for ESRNet (step = epochs // 5, gamma 0.5; config.py:105-106)
-    lr_step_size: int = 1298 // 5
+    # StepLR for ESRNet (step = epochs // 5, gamma 0.5; config.py:105-106);
+    # 0 means "derive from epochs" so overriding epochs keeps the decay
+    # schedule proportional, as the reference's config module does
+    lr_step_size: int = 0
     lr_gamma: float = 0.5
+
+    @property
+    def effective_lr_step_size(self) -> int:
+        return self.lr_step_size or max(1, self.epochs // 5)
 
     # bf16 compute (the TPU analogue of the reference's CUDA AMP autocast)
     use_bfloat16: bool = True
@@ -169,11 +175,19 @@ class GanTrainConfig(TrainConfig):
     adversarial_weight: float = 0.1
 
     # MultiStepLR milestones at 12.5/25/50/75% of epochs, gamma 0.5
-    lr_milestones: Tuple[int, ...] = (
-        int(519 * 0.125), int(519 * 0.250), int(519 * 0.500), int(519 * 0.750))
+    # (reference config.py:146); empty means "derive from epochs"
+    lr_milestones: Tuple[int, ...] = ()
     lr_gamma: float = 0.5
 
-    # VGG19 feature nodes used by ContentLoss (reference config.py:131):
-    # features.{2,7,16,25,34} == relu of conv{1_2,2_2,3_4,4_4,5_4}
-    vgg_nodes: Tuple[str, ...] = ("relu1_2", "relu2_2", "relu3_4", "relu4_4", "relu5_4")
+    @property
+    def effective_lr_milestones(self) -> Tuple[int, ...]:
+        if self.lr_milestones:
+            return self.lr_milestones
+        return tuple(int(self.epochs * f) for f in (0.125, 0.250, 0.500, 0.750))
+
+    # VGG19 feature taps used by the content loss (reference config.py:131):
+    # torchvision nodes features.{2,7,16,25,34} are the PRE-activation
+    # outputs of these convs
+    vgg_nodes: Tuple[str, ...] = ("conv1_2", "conv2_2", "conv3_4", "conv4_4",
+                                  "conv5_4")
     vgg_weights_path: str = ""   # torchvision vgg19 .pth; random init if empty

@@ -140,8 +140,6 @@ def degrade(key: jax.Array,
     # --- per-sample kernels, synthesized on device ---
     k1 = jax.vmap(lambda k: random_first_order_kernel(k, kcfg))(
         jax.random.split(k_k1, b))
-    k2 = jax.vmap(lambda k: random_second_order_kernel(k, kcfg))(
-        jax.random.split(k_k2, b))
     sinc = jax.vmap(lambda k: random_final_sinc_kernel(k, kcfg))(
         jax.random.split(k_sinc, b))
     ident = identity_kernel(kcfg.pad_to)
@@ -172,10 +170,16 @@ def degrade(key: jax.Array,
 
     # ---------------- second-order degradation ----------------
     # second blur applied per batch with prob 0.8 (reference :313); skipping
-    # it entirely (lax.cond) saves a 21x21 depthwise pass on the big canvas
+    # it entirely (lax.cond) saves both the 21x21 depthwise pass on the big
+    # canvas AND the per-sample kernel synthesis (both live in the branch)
     blur2_coin = jax.random.uniform(k_blur2) < dcfg.second_blur_prob
-    out = jax.lax.cond(blur2_coin, lambda v: filter2d(v, k2),
-                       lambda v: v, out)
+
+    def do_blur2(v):
+        k2 = jax.vmap(lambda k: random_second_order_kernel(k, kcfg))(
+            jax.random.split(k_k2, b))
+        return filter2d(v, k2)
+
+    out = jax.lax.cond(blur2_coin, do_blur2, lambda v: v, out)
 
     k_s2, k_m2 = jax.random.split(k_rs2)
     s2 = _random_scales(k_s2, b, dcfg.resize_probs2, dcfg.resize_range2)

@@ -77,9 +77,15 @@ _YCBCR2RGB = jnp.asarray(np.array(
 
 
 def quality_to_factor(quality: jnp.ndarray) -> jnp.ndarray:
-    """JPEG quality in (0, 100] -> quantization scale factor."""
+    """JPEG quality in (0, 100] -> quantization scale factor.
+
+    q == 100 maps to factor 0 in the raw formula (division by zero in the
+    quantizer); clamp to a tiny positive factor so q=100 degrades to
+    effectively-lossless (~74 dB) instead of NaN; the floor stays above f32 integer-rounding limits.
+    """
     q = jnp.asarray(quality, jnp.float32)
-    return jnp.where(q < 50.0, 5000.0 / q, 200.0 - q * 2.0) / 100.0
+    factor = jnp.where(q < 50.0, 5000.0 / q, 200.0 - q * 2.0) / 100.0
+    return jnp.maximum(factor, 0.01)
 
 
 def _hard_round(x: jnp.ndarray) -> jnp.ndarray:

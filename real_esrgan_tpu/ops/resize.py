@@ -189,8 +189,11 @@ def _axis_area(x: jnp.ndarray, n_in, n_out, out_size: int, axis: int) -> jnp.nda
     i = jnp.arange(out_size, dtype=jnp.float32)
     ratio = n_in / n_out
     n_in_i = n_in.astype(jnp.int32)
-    start = jnp.clip(jnp.floor(i * ratio).astype(jnp.int32), 0, n_in_i)
-    end = jnp.clip(jnp.ceil((i + 1.0) * ratio).astype(jnp.int32), 1, n_in_i)
+    # rows beyond the valid output extent replicate the last valid input row
+    # (start clamped to n_in-1, not n_in) so downstream full-canvas consumers
+    # (e.g. the second blur) never blend in zeros
+    start = jnp.clip(jnp.floor(i * ratio).astype(jnp.int32), 0, n_in_i - 1)
+    end = jnp.clip(jnp.ceil((i + 1.0) * ratio).astype(jnp.int32), start + 1, n_in_i)
     count = jnp.maximum(end - start, 1).astype(jnp.float32)
     count = count[(...,) + (None,) * (x.ndim - axis - 1)]
     out = (_gather_axis(csum, end, axis) - _gather_axis(csum, start, axis)) / count

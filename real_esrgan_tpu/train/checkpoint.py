@@ -67,6 +67,26 @@ def load_generator_params(path: str, prefer_ema: bool = True) -> Dict[str, Any]:
     return tree
 
 
+def restore_like(template: Any, restored: Any) -> Any:
+    """Rebuild ``restored`` with ``template``'s tree structure.
+
+    Orbax serializes pytrees structurally (optax opt_states — tuples of
+    NamedTuples — come back as lists of dicts), which breaks tree_map against
+    the live state.  Leaf ORDER is preserved by both flattenings (NamedTuple
+    fields serialize as sorted dict keys, and optax's field names are already
+    alphabetical), so unflattening into the template structure recovers the
+    exact state.  Falls back to the template if leaf counts mismatch (e.g.
+    optimizer hyperparameters changed between runs).
+    """
+    t_leaves, t_def = jax.tree_util.tree_flatten(template)
+    r_leaves = jax.tree_util.tree_leaves(restored)
+    if len(t_leaves) != len(r_leaves):
+        return template
+    if any(np.shape(a) != np.shape(b) for a, b in zip(t_leaves, r_leaves)):
+        return template
+    return jax.tree_util.tree_unflatten(t_def, r_leaves)
+
+
 def merge_matching(params: Dict[str, Any], loaded: Dict[str, Any]) -> Dict[str, Any]:
     """Filtered merge: only leaves whose path+shape match are overwritten —
     the reference's partial/migration loading semantics

@@ -57,12 +57,12 @@ def build_models(model_cfg: ModelConfig, cfg: GanTrainConfig):
         channels=model_cfg.channels, growth=model_cfg.growth_channels,
         dtype=dtype, remat=cfg.remat_rrdb)
     discriminator = UNetDiscriminator(dtype=dtype)
-    vgg = VGG19Features(dtype=dtype)
+    vgg = VGG19Features(nodes=tuple(cfg.vgg_nodes), dtype=dtype)
     return generator, discriminator, vgg
 
 
 def build_optimizers(cfg: GanTrainConfig, steps_per_epoch: int):
-    schedule = multistep_lr(cfg.lr, cfg.lr_milestones, cfg.lr_gamma,
+    schedule = multistep_lr(cfg.lr, cfg.effective_lr_milestones, cfg.lr_gamma,
                             steps_per_epoch)
     g_tx = optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1])
     d_tx = optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1])

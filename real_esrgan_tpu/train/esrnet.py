@@ -51,7 +51,7 @@ def build_generator(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Generator
 def build_optimizer(train_cfg: TrainConfig, steps_per_epoch: int):
     """Adam(lr, betas=(0.9, 0.99)) + StepLR, as the reference
     (train_realesrnet.py:197-206)."""
-    schedule = step_lr(train_cfg.lr, train_cfg.lr_step_size, train_cfg.lr_gamma,
+    schedule = step_lr(train_cfg.lr, train_cfg.effective_lr_step_size, train_cfg.lr_gamma,
                        steps_per_epoch)
     return optax.adam(schedule, b1=train_cfg.betas[0], b2=train_cfg.betas[1])
 

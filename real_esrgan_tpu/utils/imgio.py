@@ -48,11 +48,15 @@ def array_to_image(array: np.ndarray, range_norm: bool = False) -> np.ndarray:
 
 
 def natsorted_files(directory: str):
-    """Natural-sort directory listing (reference uses natsort, test.py:57)."""
+    """Natural-sorted image files (reference uses natsort, test.py:57);
+    non-image entries are skipped so stray files don't abort evaluation."""
     import re
+
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
 
     def key(name):
         return [int(t) if t.isdigit() else t.lower()
                 for t in re.split(r"(\d+)", name)]
 
-    return [os.path.join(directory, f) for f in sorted(os.listdir(directory), key=key)]
+    names = [f for f in os.listdir(directory) if f.lower().endswith(exts)]
+    return [os.path.join(directory, f) for f in sorted(names, key=key)]

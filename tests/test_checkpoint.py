@@ -62,3 +62,32 @@ def test_load_generator_params_from_pth_tar(tmp_path):
 
     params = load_generator_params(path, prefer_ema=False)
     np.testing.assert_allclose(params["conv1"]["kernel"], 0.0)
+
+
+def test_restore_like_rebuilds_optax_state(tmp_path):
+    """Orbax round-trips optax states as lists-of-dicts; restore_like must
+    rebuild the original NamedTuple structure (regression: resume crashed)."""
+    import optax
+    from real_esrgan_tpu.train.checkpoint import restore_like, save_checkpoint
+
+    tx = optax.adam(1e-3, b1=0.9, b2=0.99)
+    params = {"w": np.ones((4, 4), np.float32)}
+    opt_state = tx.init(params)
+    path = str(tmp_path / "opt")
+    save_checkpoint(path, {"opt_state": jax.device_get(opt_state)})
+    raw = load_checkpoint(path)["opt_state"]
+
+    rebuilt = restore_like(jax.device_get(opt_state), raw)
+    # must be usable by optax straight away
+    grads = {"w": np.full((4, 4), 0.1, np.float32)}
+    updates, _ = tx.update(jax.tree_util.tree_map(jnp.asarray, grads),
+                           rebuilt, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_restore_like_falls_back_on_mismatch():
+    from real_esrgan_tpu.train.checkpoint import restore_like
+
+    template = {"a": np.zeros(3), "b": np.zeros(2)}
+    assert restore_like(template, {"a": np.ones(3)}) is template
+    assert restore_like(template, {"a": np.ones(3), "b": np.ones(5)}) is template

@@ -119,3 +119,14 @@ def test_diffjpeg_differentiable_mode_grads():
     g = jax.grad(loss)(img)
     assert np.isfinite(np.array(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_diffjpeg_quality_100_no_nan():
+    """Regression: factor(q=100) was 0 -> division by zero -> NaN output."""
+    img = (RNG.random((32, 32, 3)) * 0.8 + 0.1).astype(np.float32)
+    img = cv2.GaussianBlur(img, (7, 7), 2.0)  # smooth: 4:2:0 chroma loss small
+    out100 = np.array(diff_jpeg(jnp.asarray(img[None]), 100.0))
+    out30 = np.array(diff_jpeg(jnp.asarray(img[None]), 30.0))
+    assert np.isfinite(out100).all()
+    assert _psnr(out100[0], img) > _psnr(out30[0], img) + 3
+    assert _psnr(out100[0], img) > 30

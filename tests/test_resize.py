@@ -90,3 +90,18 @@ def test_upsample_nearest():
     y = np.array(upsample_nearest_2x(x))
     assert y.shape == (1, 4, 4, 2)
     np.testing.assert_allclose(y[0, :2, :2, 0], np.array(x)[0, 0, 0, 0])
+
+
+def test_area_resize_edge_fills_beyond_extent():
+    """Canvas rows/cols past the valid output extent must replicate edge
+    values, not zeros (regression: blur after an area resize blended zeros
+    into the valid region's border)."""
+    from real_esrgan_tpu.ops.resize import resize_dynamic_static_method
+
+    img = np.full((32, 32, 3), 0.7, np.float32)
+    canvas = np.pad(img, ((0, 32), (0, 32), (0, 0)), mode="edge")
+    out = np.array(resize_dynamic_static_method(
+        jnp.asarray(canvas), (jnp.int32(32), jnp.int32(32)),
+        (jnp.int32(16), jnp.int32(16)), (64, 64), method=0))
+    np.testing.assert_allclose(out[:16, :16], 0.7, atol=1e-6)  # valid region
+    assert out.min() > 0.5, "garbage region must hold edge values, not zeros"

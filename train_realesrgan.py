@@ -98,20 +98,25 @@ def main(args) -> None:
     if cfg.resume_g and os.path.exists(os.path.abspath(cfg.resume_g)):
         tree = ckpt_lib.load_checkpoint(cfg.resume_g)
         state = state.replace(
-            g_params=tree["params"], g_ema=tree["ema_params"],
-            g_opt=jax.tree_util.tree_map(
-                lambda a, b: b if np.shape(a) == np.shape(b) else a,
-                jax.device_get(state.g_opt), tree["opt_state"]),
+            g_params=ckpt_lib.restore_like(jax.device_get(state.g_params),
+                                           tree["params"]),
+            g_ema=ckpt_lib.restore_like(jax.device_get(state.g_ema),
+                                        tree["ema_params"]),
+            g_opt=ckpt_lib.restore_like(jax.device_get(state.g_opt),
+                                        tree["opt_state"]),
             step=jnp.asarray(tree["step"], jnp.int32))
         start_epoch = int(tree.get("epoch", 0))
         best_niqe = float(tree.get("best_niqe", 100.0))
         print(f"Resumed generator GAN state from `{cfg.resume_g}`.")
     if cfg.resume_d and os.path.exists(os.path.abspath(cfg.resume_d)):
         tree = ckpt_lib.load_checkpoint(cfg.resume_d)
-        state = state.replace(d_params=tree["params"], d_stats=tree["batch_stats"],
-                              d_opt=jax.tree_util.tree_map(
-                                  lambda a, b: b if np.shape(a) == np.shape(b) else a,
-                                  jax.device_get(state.d_opt), tree["opt_state"]))
+        state = state.replace(
+            d_params=ckpt_lib.restore_like(jax.device_get(state.d_params),
+                                           tree["params"]),
+            d_stats=ckpt_lib.restore_like(jax.device_get(state.d_stats),
+                                          tree["batch_stats"]),
+            d_opt=ckpt_lib.restore_like(jax.device_get(state.d_opt),
+                                        tree["opt_state"]))
         print(f"Resumed discriminator from `{cfg.resume_d}`.")
 
     state = jax.device_put(state, replicated_sharding(mesh))

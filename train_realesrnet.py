@@ -128,9 +128,8 @@ def main(args) -> None:
             params=ckpt_lib.merge_matching(jax.device_get(state.params), tree["params"]),
             ema_params=ckpt_lib.merge_matching(jax.device_get(state.ema_params),
                                                tree["ema_params"]),
-            opt_state=jax.tree_util.tree_map(
-                lambda a, b: b if np.shape(a) == np.shape(b) else a,
-                jax.device_get(state.opt_state), tree["opt_state"]),
+            opt_state=ckpt_lib.restore_like(jax.device_get(state.opt_state),
+                                            tree["opt_state"]),
         )
         state = jax.device_put(state, replicated_sharding(mesh))
         start_epoch = int(tree.get("epoch", 0))
