@@ -151,7 +151,7 @@ def degrade(key: jax.Array,
     # per-sample blur gate via identity-kernel select (prob 1.0 by default)
     blur1_on = jax.random.uniform(k_blur1, (b,)) <= dcfg.first_blur_prob
     k1_eff = jnp.where(blur1_on[:, None, None], k1, ident[None])
-    out = filter2d(out, k1_eff)
+    out = filter2d(out, k1_eff, compute_dtype=jnp.bfloat16)
 
     k_s1, k_m1 = jax.random.split(k_rs1)
     s1 = _random_scales(k_s1, b, dcfg.resize_probs1, dcfg.resize_range1)
@@ -177,7 +177,7 @@ def degrade(key: jax.Array,
     def do_blur2(v):
         k2 = jax.vmap(lambda k: random_second_order_kernel(k, kcfg))(
             jax.random.split(k_k2, b))
-        return filter2d(v, k2)
+        return filter2d(v, k2, compute_dtype=jnp.bfloat16)
 
     out = jax.lax.cond(blur2_coin, do_blur2, lambda v: v, out)
 
@@ -202,13 +202,13 @@ def degrade(key: jax.Array,
     def branch_a(v):
         resized = _batched_resize(v, extent2, final_extent,
                                   (lr_size, lr_size), method3)
-        return diff_jpeg(jnp.clip(filter2d(resized, sinc), 0.0, 1.0), q2)
+        return diff_jpeg(jnp.clip(filter2d(resized, sinc, compute_dtype=jnp.bfloat16), 0.0, 1.0), q2)
 
     def branch_b(v):
         jpeged = diff_jpeg(jnp.clip(v, 0.0, 1.0), q2)
         resized = _batched_resize(jpeged, extent2, final_extent,
                                   (lr_size, lr_size), method3)
-        return filter2d(resized, sinc)
+        return filter2d(resized, sinc, compute_dtype=jnp.bfloat16)
 
     coin = jax.random.uniform(k_order) < 0.5
     out = jax.lax.cond(coin, branch_a, branch_b, out)

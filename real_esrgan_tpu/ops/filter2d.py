@@ -16,16 +16,23 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def filter2d(image: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+def filter2d(image: jnp.ndarray, kernel: jnp.ndarray,
+             compute_dtype=None) -> jnp.ndarray:
     """Filter a batch of NHWC images.
 
     Args:
         image: (B, H, W, C) float array.
         kernel: (k, k) shared kernel or (B, k, k) per-sample kernels. k odd.
+        compute_dtype: optional lower-precision compute type (e.g. bf16 for
+            the degradation blurs, where the ~3e-3 error vanishes under the
+            final 8-bit quantization); output keeps the input dtype.
 
     Returns:
         (B, H, W, C) filtered image (same spatial size, reflect-padded edges).
     """
+    in_dtype = image.dtype
+    if compute_dtype is not None:
+        image = image.astype(compute_dtype)
     if kernel.ndim == 2:
         kernel = kernel[None]
     b, h, w, c = image.shape
@@ -46,7 +53,7 @@ def filter2d(image: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
         )
-        return out
+        return out.astype(in_dtype)
 
     # Per-sample kernels: fold batch into features -> one depthwise conv.
     x = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h + 2 * pad, w + 2 * pad, b * c)
@@ -59,7 +66,7 @@ def filter2d(image: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=b * c,
     )
-    return jnp.transpose(out.reshape(h, w, b, c), (2, 0, 1, 3))
+    return jnp.transpose(out.reshape(h, w, b, c), (2, 0, 1, 3)).astype(in_dtype)
 
 
 def filter2d_separable(image: jnp.ndarray, kernel_1d: jnp.ndarray) -> jnp.ndarray:
