@@ -21,13 +21,20 @@ Design notes (shaped by Mosaic's constraints):
 
 STATUS (round 1, measured on v5e via the axon relay): numerically correct
 (bf16-level match vs the flax block) but ~8x SLOWER than the XLA path at
-tile=32 — the channel pad to 128 lanes and the 48x48 halo window amplify the
-per-tile DMA ~4.5x, the (1600, <=128) x (<=128, 32) matmuls underfill the MXU,
-and there is no DMA/compute double buffering yet.  Kept as an experimental
-opt-in (`Generator` does NOT use it); the XLA source-packed formulation in
-models/rrdbnet.py is the production path.  Round-2 plan: 128-sublane tiles
-with f32 scratch economy, double-buffered halo DMA, and lane-major activation
-layout to kill the padding waste.
+tile=32 (14.9-16.0 ms/RDB vs ~1.8 ms).  Bisected:
+  * a DMA-only variant of the same kernel runs at 1.35 ms/call -> the halo
+    DMA is NOT the bottleneck;
+  * the 135 per-tap matmuls run at ~0.13 TF/s each; switching the per-tap
+    reshape+dot to a 3-D dot_general changed nothing (16.0 ms) -> the cost
+    is the spatially-offset window SLICES (sublane-shift relayouts per tap)
+    plus small-matmul overhead, not data movement;
+  * larger tiles (64/128) and the 45-matmul source-packed variant OOM-kill
+    the remote Mosaic compiler.
+Kept as an experimental opt-in (`Generator` does NOT use it); the XLA
+source-packed formulation in models/rrdbnet.py is the production path.
+Round-2 plan: eliminate per-tap slicing by restructuring the conv as a
+K=9*Cin single matmul over VMEM-resident im2col patches built once per tile
+(or a lane-major layout where tap shifts are free), with double-buffered DMA.
 """
 
 from __future__ import annotations
@@ -51,17 +58,20 @@ def _conv_tile(x, w_taps, out_size: int):
     w_taps: (9, Cin, Cout).  Returns (out_size, out_size, Cout) bf16.
     """
     s = out_size
-    cin = x.shape[-1]
     cout = w_taps.shape[-1]
 
-    # static unroll: dynamic_slice is not lowerable in Pallas TPU
-    acc = jnp.zeros((s * s, cout), jnp.float32)
+    # static unroll (dynamic_slice is not lowerable in Pallas TPU); contract
+    # the channel dim directly on the 3-D window — no (s*s, cin) reshape, so
+    # Mosaic avoids a relayout copy per tap
+    acc = jnp.zeros((s, s, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            flat = x[dy:dy + s, dx:dx + s, :].reshape(s * s, cin)
-            acc = acc + jnp.dot(flat, w_taps[dy * 3 + dx],
-                                preferred_element_type=jnp.float32)
-    return acc.reshape(s, s, cout).astype(jnp.bfloat16)
+            window = x[dy:dy + s, dx:dx + s, :]
+            acc = acc + jax.lax.dot_general(
+                window, w_taps[dy * 3 + dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    return acc.astype(jnp.bfloat16)
 
 
 def _lrelu(v):
