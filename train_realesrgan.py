@@ -95,8 +95,9 @@ def main(args) -> None:
             g_params=ckpt_lib.merge_matching(jax.device_get(state.g_params), g_loaded),
             g_ema=ckpt_lib.merge_matching(jax.device_get(state.g_ema), g_loaded))
         print(f"Warm-started generator from `{resume}`.")
-    if cfg.resume_g and os.path.exists(os.path.abspath(cfg.resume_g)):
-        tree = ckpt_lib.load_checkpoint(cfg.resume_g)
+    resume_g = args.resume_g or cfg.resume_g
+    if resume_g and os.path.exists(os.path.abspath(resume_g)):
+        tree = ckpt_lib.load_checkpoint(resume_g)
         state = state.replace(
             g_params=ckpt_lib.restore_like(jax.device_get(state.g_params),
                                            tree["params"]),
@@ -107,9 +108,10 @@ def main(args) -> None:
             step=jnp.asarray(tree["step"], jnp.int32))
         start_epoch = int(tree.get("epoch", 0))
         best_niqe = float(tree.get("best_niqe", 100.0))
-        print(f"Resumed generator GAN state from `{cfg.resume_g}`.")
-    if cfg.resume_d and os.path.exists(os.path.abspath(cfg.resume_d)):
-        tree = ckpt_lib.load_checkpoint(cfg.resume_d)
+        print(f"Resumed generator GAN state from `{resume_g}`.")
+    resume_d = args.resume_d or cfg.resume_d
+    if resume_d and os.path.exists(os.path.abspath(resume_d)):
+        tree = ckpt_lib.load_checkpoint(resume_d)
         state = state.replace(
             d_params=ckpt_lib.restore_like(jax.device_get(state.d_params),
                                            tree["params"]),
@@ -117,7 +119,7 @@ def main(args) -> None:
                                           tree["batch_stats"]),
             d_opt=ckpt_lib.restore_like(jax.device_get(state.d_opt),
                                         tree["opt_state"]))
-        print(f"Resumed discriminator from `{cfg.resume_d}`.")
+        print(f"Resumed discriminator from `{resume_d}`.")
 
     state = jax.device_put(state, replicated_sharding(mesh))
     train_step = make_gan_train_step(generator, discriminator, vgg, vgg_params,
@@ -209,6 +211,8 @@ if __name__ == "__main__":
     parser.add_argument("--epochs", type=int, default=0)
     parser.add_argument("--batch-size", type=int, default=0)
     parser.add_argument("--resume", type=str, default="")
+    parser.add_argument("--resume-g", type=str, default="")
+    parser.add_argument("--resume-d", type=str, default="")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--steps-per-epoch", type=int, default=8)
     parser.add_argument("--no-tensorboard", action="store_true")
