@@ -20,15 +20,23 @@ from real_esrgan_tpu.ops.color import rgb_to_grayscale
 
 
 def _unique_levels(image: jnp.ndarray) -> jnp.ndarray:
-    """Number of distinct 8-bit levels per sample (B,) for (B,...) in [0,1]."""
+    """Number of distinct 8-bit levels per sample (B,) for (B,...) in [0,1].
+
+    Exact, scatter-free: a 256-bit presence bitset per sample, built as eight
+    uint32 words by masked OR-reductions + popcount.  (A scatter-based
+    histogram serializes on TPU — measured 20x slower.)
+    """
     levels = jnp.clip(jnp.round(image * 255.0), 0, 255).astype(jnp.int32)
     flat = levels.reshape(levels.shape[0], -1)
+    word = flat >> 5                                   # (B, N) in [0, 8)
+    mask = (jnp.uint32(1) << (flat & 31).astype(jnp.uint32))
 
-    def count_one(v):
-        present = jnp.zeros((256,), jnp.int32).at[v].max(1)
-        return jnp.sum(present)
-
-    return jax.vmap(count_one)(flat)
+    counts = jnp.zeros((flat.shape[0],), jnp.int32)
+    for w in range(8):
+        m = jnp.where(word == w, mask, jnp.uint32(0))
+        ored = jax.lax.reduce(m, jnp.uint32(0), jax.lax.bitwise_or, (1,))
+        counts = counts + jax.lax.population_count(ored).astype(jnp.int32)
+    return counts
 
 
 def _vals_from_unique(unique: jnp.ndarray) -> jnp.ndarray:
