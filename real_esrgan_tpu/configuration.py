@@ -72,6 +72,11 @@ class DegradationConfig:
     poisson_scale_range2: Tuple[float, float] = (0.05, 2.5)
     jpeg_range2: Tuple[float, float] = (30.0, 95.0)
 
+    # moment-matched rounded-normal Poisson instead of the exact rejection
+    # sampler (~10x cheaper on TPU; differs only in skewness for dark pixels).
+    # Default False = exact reference parity.
+    poisson_approx: bool = False
+
     # USM sharpening of the HR target before degradation
     # (/root/reference/train_realesrnet.py:234,268): radius 51 (50 rounded up
     # to odd), sigma 0 -> cv2 default sigma, weight 0.5, threshold 10.

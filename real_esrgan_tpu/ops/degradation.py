@@ -83,7 +83,7 @@ def _batched_resize(images: jnp.ndarray, in_extent: jnp.ndarray,
 def _mixed_noise(key: jax.Array, image: jnp.ndarray, gaussian_prob: float,
                  sigma_range: Tuple[float, float],
                  poisson_scale_range: Tuple[float, float],
-                 gray_prob: float) -> jnp.ndarray:
+                 gray_prob: float, poisson_approx: bool = False) -> jnp.ndarray:
     """Gaussian-vs-Poisson chosen per batch (reference
     train_realesrnet.py:291-309); strengths and gray masks per sample.
     Only the chosen family's sampler runs (lax.cond)."""
@@ -98,7 +98,7 @@ def _mixed_noise(key: jax.Array, image: jnp.ndarray, gaussian_prob: float,
     noise = jax.lax.cond(
         use_gauss,
         lambda img: gaussian_noise(k_n, img, sigma, gray),
-        lambda img: poisson_noise(k_n, img, scale, gray),
+        lambda img: poisson_noise(k_n, img, scale, gray, poisson_approx),
         image)
     return jnp.clip(image + noise, 0.0, 1.0)
 
@@ -162,7 +162,7 @@ def degrade(key: jax.Array,
 
     out = _mixed_noise(k_noise1, out, dcfg.gaussian_noise_prob1,
                        dcfg.noise_range1, dcfg.poisson_scale_range1,
-                       dcfg.gray_noise_prob1)
+                       dcfg.gray_noise_prob1, dcfg.poisson_approx)
 
     q1 = jax.random.uniform(k_q1, (b,), minval=dcfg.jpeg_range1[0],
                             maxval=dcfg.jpeg_range1[1])
@@ -189,7 +189,7 @@ def degrade(key: jax.Array,
 
     out = _mixed_noise(k_noise2, out, dcfg.gaussian_noise_prob2,
                        dcfg.noise_range2, dcfg.poisson_scale_range2,
-                       dcfg.gray_noise_prob2)
+                       dcfg.gray_noise_prob2, dcfg.poisson_approx)
 
     # ---------------- final stage: order coin (per batch) ----------------
     # branch A: resize -> sinc -> JPEG ; branch B: JPEG -> resize -> sinc

@@ -63,27 +63,42 @@ def gaussian_noise(key: jax.Array, image: jnp.ndarray, sigma: jnp.ndarray,
     return noise * (1.0 - g) + noise_gray * g
 
 
+def _poisson_residual(key: jax.Array, rates: jnp.ndarray,
+                      approx: bool) -> jnp.ndarray:
+    """Draw Poisson(rates) - rates.
+
+    approx=True uses the rounded-normal approximation
+    round(N(lam, sqrt(lam))) - lam, which matches Poisson's first two moments
+    and is cheap on TPU (jax.random.poisson's rejection sampler is ~10x the
+    cost); skewness differs only for lam < ~10 (dark pixels).
+    """
+    if approx:
+        # no clip at zero: clipping would bias the residual positive at tiny
+        # rates; the image is clamped to [0, 1] downstream anyway
+        z = jax.random.normal(key, rates.shape, rates.dtype)
+        return jnp.round(rates + z * jnp.sqrt(rates)) - rates
+    return jax.random.poisson(key, rates, rates.shape).astype(rates.dtype) - rates
+
+
 def poisson_noise(key: jax.Array, image: jnp.ndarray, scale: jnp.ndarray,
-                  gray_mask: jnp.ndarray) -> jnp.ndarray:
+                  gray_mask: jnp.ndarray, approx: bool = False) -> jnp.ndarray:
     """Per-sample Poisson (shot) noise scaled by ``scale``.
 
     Matches `_generate_poisson_noise_torch` (imgproc.py:866-916): quantize to
     8-bit, estimate level count, draw Poisson(image * vals) / vals - image.
+    ``approx`` swaps the exact sampler for a moment-matched rounded normal.
     """
     b, h, w, c = image.shape
     k_col, k_gray = jax.random.split(key)
 
     img_q = jnp.clip(jnp.round(image * 255.0), 0, 255) / 255.0
     vals = _vals_from_unique(_unique_levels(img_q)).reshape(b, 1, 1, 1)
-    out = jax.random.poisson(k_col, img_q * vals, image.shape).astype(image.dtype) / vals
-    noise = out - img_q
+    noise = _poisson_residual(k_col, img_q * vals, approx) / vals
 
     gray = rgb_to_grayscale(image)
     gray_q = jnp.clip(jnp.round(gray * 255.0), 0, 255) / 255.0
     vals_g = _vals_from_unique(_unique_levels(gray_q)).reshape(b, 1, 1, 1)
-    out_g = jax.random.poisson(k_gray, gray_q * vals_g,
-                               gray_q.shape).astype(image.dtype) / vals_g
-    noise_gray = out_g - gray_q
+    noise_gray = _poisson_residual(k_gray, gray_q * vals_g, approx) / vals_g
 
     g = gray_mask.reshape(b, 1, 1, 1)
     noise = noise * (1.0 - g) + noise_gray * g

@@ -130,3 +130,16 @@ def test_diffjpeg_quality_100_no_nan():
     assert np.isfinite(out100).all()
     assert _psnr(out100[0], img) > _psnr(out30[0], img) + 3
     assert _psnr(out100[0], img) > 30
+
+
+def test_poisson_approx_matches_moments():
+    """The rounded-normal approximation must match exact Poisson noise in
+    mean and variance (it only differs in skew for dark pixels)."""
+    # realistic content: many distinct levels -> vals=256, rates ~ O(100)
+    img = (RNG.random((1, 128, 128, 3)) * 0.8 + 0.1).astype(np.float32)
+    n_exact = np.array(poisson_noise(jax.random.PRNGKey(7), jnp.asarray(img),
+                                     jnp.ones(1), jnp.zeros(1), approx=False))
+    n_approx = np.array(poisson_noise(jax.random.PRNGKey(8), jnp.asarray(img),
+                                      jnp.ones(1), jnp.zeros(1), approx=True))
+    np.testing.assert_allclose(n_exact.mean(), n_approx.mean(), atol=2e-3)
+    np.testing.assert_allclose(n_exact.std(), n_approx.std(), rtol=0.05)
