@@ -11,24 +11,32 @@ import argparse
 import os
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
 
-from real_esrgan_tpu.models import Generator
-from real_esrgan_tpu.train.checkpoint import load_generator_params
-from real_esrgan_tpu.utils.imgio import (
-    array_to_image, image_to_array, load_image_rgb, save_image_rgb,
-)
+def build_generator(upscale_factor: int, num_rrdb: int = 23, dtype=None):
+    import jax.numpy as jnp
 
+    from real_esrgan_tpu.models import Generator
 
-def build_generator(upscale_factor: int, num_rrdb: int = 23,
-                    dtype=jnp.float32) -> Generator:
     return Generator(upscale_factor=upscale_factor, num_rrdb=num_rrdb,
-                     dtype=dtype)
+                     dtype=dtype if dtype is not None else jnp.float32)
 
 
 def main(args) -> str:
+    # select the backend BEFORE anything touches jax (env vars are too late:
+    # the TPU plugin registers at interpreter startup via sitecustomize)
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from real_esrgan_tpu.train.checkpoint import load_generator_params
+    from real_esrgan_tpu.utils.imgio import (
+        array_to_image, image_to_array, load_image_rgb, save_image_rgb,
+    )
+
     model = build_generator(args.upscale_factor,
                             dtype=jnp.bfloat16 if args.bfloat16 else jnp.float32)
 
@@ -87,4 +95,6 @@ if __name__ == "__main__":
                              "(0 = whole image in one forward).")
     parser.add_argument("--tile_overlap", type=int, default=16)
     parser.add_argument("--tile_batch", type=int, default=8)
+    parser.add_argument("--cpu", action="store_true",
+                        help="Force the CPU backend (no TPU required).")
     main(parser.parse_args())
