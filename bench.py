@@ -140,7 +140,8 @@ def main() -> None:
     p.add_argument("--mode", choices=("inference", "train", "gan"),
                    default="inference")
     p.add_argument("--batch", type=int, default=0, help="0 = mode default (8 inference / 16 train)")
-    p.add_argument("--lr-size", type=int, default=256)
+    p.add_argument("--lr-size", type=int, default=256,
+                   help="inference mode only; train/gan use the 400px HR geometry")
     p.add_argument("--iters", type=int, default=10)
     a = p.parse_args()
     if not a.batch:

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from real_esrgan_tpu.ops.resize import matlab_resize
 
-_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp", ".tif", ".tiff", ".ppm", ".gif")
 
 
 def _list_images(directory: str) -> List[str]:

@@ -81,11 +81,13 @@ def quality_to_factor(quality: jnp.ndarray) -> jnp.ndarray:
 
     q == 100 maps to factor 0 in the raw formula (division by zero in the
     quantizer); clamp to a tiny positive factor so q=100 degrades to
-    effectively-lossless (~74 dB) instead of NaN; the floor stays above f32 integer-rounding limits.
+    effectively-lossless instead of NaN (only the degenerate factor<=0 case is rescued).
     """
     q = jnp.asarray(quality, jnp.float32)
     factor = jnp.where(q < 50.0, 5000.0 / q, 200.0 - q * 2.0) / 100.0
-    return jnp.maximum(factor, 0.01)
+    # only rescue the degenerate q == 100 case; legitimate q in (99.5, 100)
+    # keeps its exact (tiny) factor
+    return jnp.where(factor <= 0.0, 0.005, factor)
 
 
 def _hard_round(x: jnp.ndarray) -> jnp.ndarray:

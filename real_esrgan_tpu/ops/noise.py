@@ -4,9 +4,9 @@ JAX re-design of the torch noise family in the reference
 (/root/reference/imgproc.py:829-1086): per-sample noise strength vectors,
 gray-noise blending, and the Poisson unique-value scaling trick.  The
 reference's per-sample Python loop over ``torch.unique``
-(imgproc.py:892,903) is replaced by a vmapped 256-bin presence histogram —
-images are quantized to 8-bit levels first, so counting distinct values is a
-scatter + reduction that compiles into the training step.
+(imgproc.py:892,903) is replaced by a scatter-free 256-bit presence bitset
+(masked OR-reductions + popcount) — images are quantized to 8-bit levels
+first, so counting distinct values compiles into the training step.
 """
 
 from __future__ import annotations

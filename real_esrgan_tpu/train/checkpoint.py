@@ -67,7 +67,8 @@ def load_generator_params(path: str, prefer_ema: bool = True) -> Dict[str, Any]:
     return tree
 
 
-def restore_like(template: Any, restored: Any) -> Any:
+def restore_like(template: Any, restored: Any, what: str = "state",
+                 on_mismatch: str = "raise") -> Any:
     """Rebuild ``restored`` with ``template``'s tree structure.
 
     Orbax serializes pytrees structurally (optax opt_states — tuples of
@@ -75,14 +76,28 @@ def restore_like(template: Any, restored: Any) -> Any:
     the live state.  Leaf ORDER is preserved by both flattenings (NamedTuple
     fields serialize as sorted dict keys, and optax's field names are already
     alphabetical), so unflattening into the template structure recovers the
-    exact state.  Falls back to the template if leaf counts mismatch (e.g.
-    optimizer hyperparameters changed between runs).
+    exact state.
+
+    On structure/shape mismatch (e.g. the model or optimizer config changed
+    between runs): raises by default — silently training from a fresh state
+    while claiming to have resumed would be worse — or, with
+    ``on_mismatch="template"``, warns loudly and returns the template.
     """
     t_leaves, t_def = jax.tree_util.tree_flatten(template)
     r_leaves = jax.tree_util.tree_leaves(restored)
+    mismatch = None
     if len(t_leaves) != len(r_leaves):
-        return template
-    if any(np.shape(a) != np.shape(b) for a, b in zip(t_leaves, r_leaves)):
+        mismatch = f"{len(r_leaves)} leaves in checkpoint vs {len(t_leaves)} live"
+    else:
+        for a, b in zip(t_leaves, r_leaves):
+            if np.shape(a) != np.shape(b):
+                mismatch = f"shape {np.shape(b)} in checkpoint vs {np.shape(a)} live"
+                break
+    if mismatch:
+        msg = f"Checkpoint {what} does not match the live structure ({mismatch})."
+        if on_mismatch == "raise":
+            raise ValueError(msg)
+        print(f"WARNING: {msg} Keeping freshly-initialized {what}.")
         return template
     return jax.tree_util.tree_unflatten(t_def, r_leaves)
 

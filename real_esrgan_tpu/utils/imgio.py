@@ -52,7 +52,7 @@ def natsorted_files(directory: str):
     non-image entries are skipped so stray files don't abort evaluation."""
     import re
 
-    exts = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".webp", ".tif", ".tiff", ".ppm", ".gif")
 
     def key(name):
         return [int(t) if t.isdigit() else t.lower()

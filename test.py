@@ -39,6 +39,8 @@ def main(args) -> float:
     niqe_meter = AverageMeter("NIQE", ":4.2f")
 
     files = natsorted_files(args.lr_dir)
+    if not files:
+        raise FileNotFoundError(f"No image files found in {args.lr_dir}")
     for index, path in enumerate(files):
         lr_image = load_image_rgb(path)
         # bucketed shapes bound recompiles across differently-sized images

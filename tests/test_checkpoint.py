@@ -85,9 +85,18 @@ def test_restore_like_rebuilds_optax_state(tmp_path):
     assert np.isfinite(np.asarray(updates["w"])).all()
 
 
-def test_restore_like_falls_back_on_mismatch():
+def test_restore_like_mismatch_semantics():
+    import pytest
+
     from real_esrgan_tpu.train.checkpoint import restore_like
 
     template = {"a": np.zeros(3), "b": np.zeros(2)}
-    assert restore_like(template, {"a": np.ones(3)}) is template
-    assert restore_like(template, {"a": np.ones(3), "b": np.ones(5)}) is template
+    # raises by default: silently training from fresh state while claiming to
+    # have resumed would be worse
+    with pytest.raises(ValueError):
+        restore_like(template, {"a": np.ones(3)})
+    with pytest.raises(ValueError):
+        restore_like(template, {"a": np.ones(3), "b": np.ones(5)})
+    # explicit opt-in fallback (used for optimizer states, safe to reinit)
+    assert restore_like(template, {"a": np.ones(3)},
+                        on_mismatch="template") is template

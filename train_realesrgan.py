@@ -10,6 +10,7 @@ fused jitted G+D step per batch with GAN meters and dual checkpoints
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import time
 
@@ -55,6 +56,9 @@ def main(args) -> None:
     dcfg = run_config.degradation
     model_cfg = run_config.model
     cfg = run_config.train_esrgan
+    if args.epochs:
+        # keep the LR schedule proportional to the overridden run length
+        cfg = dataclasses.replace(cfg, epochs=args.epochs)
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
@@ -100,11 +104,12 @@ def main(args) -> None:
         tree = ckpt_lib.load_checkpoint(resume_g)
         state = state.replace(
             g_params=ckpt_lib.restore_like(jax.device_get(state.g_params),
-                                           tree["params"]),
+                                           tree["params"], "g_params"),
             g_ema=ckpt_lib.restore_like(jax.device_get(state.g_ema),
-                                        tree["ema_params"]),
+                                        tree["ema_params"], "g_ema"),
             g_opt=ckpt_lib.restore_like(jax.device_get(state.g_opt),
-                                        tree["opt_state"]),
+                                        tree["opt_state"], "g_opt",
+                                        on_mismatch="template"),
             step=jnp.asarray(tree["step"], jnp.int32))
         start_epoch = int(tree.get("epoch", 0))
         best_niqe = float(tree.get("best_niqe", 100.0))
@@ -114,11 +119,12 @@ def main(args) -> None:
         tree = ckpt_lib.load_checkpoint(resume_d)
         state = state.replace(
             d_params=ckpt_lib.restore_like(jax.device_get(state.d_params),
-                                           tree["params"]),
+                                           tree["params"], "d_params"),
             d_stats=ckpt_lib.restore_like(jax.device_get(state.d_stats),
-                                          tree["batch_stats"]),
+                                          tree["batch_stats"], "d_stats"),
             d_opt=ckpt_lib.restore_like(jax.device_get(state.d_opt),
-                                        tree["opt_state"]))
+                                        tree["opt_state"], "d_opt",
+                                        on_mismatch="template"))
         print(f"Resumed discriminator from `{resume_d}`.")
 
     state = jax.device_put(state, replicated_sharding(mesh))
@@ -137,7 +143,7 @@ def main(args) -> None:
 
         writer = SummaryWriter(os.path.join("samples", "logs", cfg.exp_name))
 
-    epochs = args.epochs or cfg.epochs
+    epochs = cfg.epochs
     data_sharding = batch_sharding(mesh)
     key = jax.random.PRNGKey(cfg.seed + 1)
 

@@ -13,6 +13,7 @@ overrides for smoke tests (--synthetic --steps-per-epoch --epochs).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import time
 
@@ -89,6 +90,9 @@ def main(args) -> None:
     dcfg = run_config.degradation
     model_cfg = run_config.model
     cfg = run_config.train_esrnet
+    if args.epochs:
+        # keep the LR schedule proportional to the overridden run length
+        cfg = dataclasses.replace(cfg, epochs=args.epochs)
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
@@ -129,7 +133,8 @@ def main(args) -> None:
             ema_params=ckpt_lib.merge_matching(jax.device_get(state.ema_params),
                                                tree["ema_params"]),
             opt_state=ckpt_lib.restore_like(jax.device_get(state.opt_state),
-                                            tree["opt_state"]),
+                                            tree["opt_state"], "opt_state",
+                                            on_mismatch="template"),
         )
         state = jax.device_put(state, replicated_sharding(mesh))
         start_epoch = int(tree.get("epoch", 0))
@@ -150,7 +155,7 @@ def main(args) -> None:
 
         writer = SummaryWriter(os.path.join("samples", "logs", run_config.exp_name))
 
-    epochs = args.epochs or cfg.epochs
+    epochs = cfg.epochs
     data_sharding = batch_sharding(mesh)
     key = jax.random.PRNGKey(cfg.seed + 1)
 
