@@ -126,27 +126,32 @@ class ThreadedLoader:
 
     def __iter__(self) -> Iterator[np.ndarray]:
         n = len(self.dataset)
-        order = np.random.default_rng(self.seed + self.epoch).permutation(n)
+        epoch = self.epoch
+        order = np.random.default_rng(self.seed + epoch).permutation(n)
         self.epoch += 1
         usable = (n // self.batch_size) * self.batch_size
         order = order[:usable]
 
-        index_q: "queue.Queue[Optional[int]]" = queue.Queue()
+        index_q: "queue.Queue" = queue.Queue()
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.batch_size)
-        for idx in order:
-            index_q.put(int(idx))
+        for pos, idx in enumerate(order):
+            index_q.put((pos, int(idx)))
         for _ in range(self.num_workers):
             index_q.put(None)
 
         def worker(wid: int):
-            rng = np.random.default_rng((self.seed, self.epoch, wid))
             while True:
-                idx = index_q.get()
-                if idx is None:
+                item = index_q.get()
+                if item is None:
                     out_q.put(None)
                     return
+                pos, idx = item
+                # crop RNG keyed by (seed, epoch, sample index) — the same
+                # discipline as the native C++ loader, so batch content is
+                # reproducible regardless of thread scheduling
+                rng = np.random.default_rng((self.seed, epoch, idx))
                 try:
-                    out_q.put(self.dataset.load(idx, rng))
+                    out_q.put((pos, self.dataset.load(idx, rng)))
                 except Exception as exc:  # surface decode errors, keep going
                     out_q.put(exc)
 
@@ -155,18 +160,24 @@ class ThreadedLoader:
         for t in threads:
             t.start()
 
+        # Reassemble in shuffled-order position sequence (not completion
+        # order): with a fixed seed every run yields identical batches.
         finished = 0
+        pending: Dict[int, np.ndarray] = {}
+        next_pos = 0
         batch: List[np.ndarray] = []
-        produced = 0
-        while finished < self.num_workers and produced < usable:
+        while finished < self.num_workers and next_pos < usable:
             item = out_q.get()
             if item is None:
                 finished += 1
                 continue
             if isinstance(item, Exception):
                 raise item
-            batch.append(item)
-            produced += 1
-            if len(batch) == self.batch_size:
-                yield np.stack(batch)
-                batch = []
+            pos, arr = item
+            pending[pos] = arr
+            while next_pos in pending:
+                batch.append(pending.pop(next_pos))
+                next_pos += 1
+                if len(batch) == self.batch_size:
+                    yield np.stack(batch)
+                    batch = []

@@ -1,9 +1,16 @@
 """VGG19 feature extractor + perceptual ContentLoss, TPU-native (NHWC).
 
 Re-design of the reference ``ContentLoss`` (/root/reference/model.py:278-335):
-5 feature taps at torchvision node names features.{2,7,16,25,34} — i.e. the
-*pre-activation* outputs of conv1_2, conv2_2, conv3_4, conv4_4, conv5_4 —
-with ImageNet normalization of both inputs and an L1 distance per tap.
+5 feature taps at torchvision node names features.{2,7,16,25,34} — the conv
+outputs of conv1_2, conv2_2, conv3_4, conv4_4, conv5_4 — with ImageNet
+normalization of both inputs and an L1 distance per tap.
+
+Tap semantics: torchvision VGG19 uses ``nn.ReLU(inplace=True)``, so although
+``create_feature_extractor`` names the conv outputs, the following ReLU
+mutates those tensors in place before the loss consumes them — the reference
+trainer *effectively* compares post-ReLU features at runtime.  We default to
+``post_activation=True`` to match that observed behavior; set it False for
+the pre-activation taps of the original Real-ESRGAN/basicsr formulation.
 
 Pretrained ImageNet weights cannot be downloaded in this environment; the
 torch->JAX converter (models/convert.py::convert_vgg19) loads a local
@@ -43,9 +50,14 @@ IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
 
 
 class VGG19Features(nn.Module):
-    """Runs VGG19 up to the deepest requested node, returning tapped features."""
+    """Runs VGG19 up to the deepest requested node, returning tapped features.
+
+    ``post_activation=True`` (default) taps after the ReLU — what the
+    reference's inplace-ReLU aliasing actually feeds its loss (see module
+    docstring); False taps the raw conv outputs."""
     nodes: Sequence[str] = DEFAULT_NODES
     dtype: Any = jnp.float32
+    post_activation: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -58,11 +70,10 @@ class VGG19Features(nn.Module):
             name, ch = spec
             pre = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
                           param_dtype=jnp.float32, name=name)(x)
-            if name in self.nodes:
-                # pre-activation tap (torchvision node "features.N" is the
-                # conv module output, before its ReLU)
-                taps[name] = pre.astype(jnp.float32)
             x = nn.relu(pre)
+            if name in self.nodes:
+                taps[name] = (x if self.post_activation else pre).astype(
+                    jnp.float32)
             if _layer_depth(name) >= deepest:
                 break
         return [taps[n] for n in self.nodes]
@@ -82,8 +93,9 @@ class ContentLoss:
 
     def __init__(self, nodes: Sequence[str] = DEFAULT_NODES,
                  weights: Sequence[float] = (0.1, 0.1, 1.0, 1.0, 1.0),
-                 dtype: Any = jnp.float32):
-        self.module = VGG19Features(nodes=tuple(nodes), dtype=dtype)
+                 dtype: Any = jnp.float32, post_activation: bool = True):
+        self.module = VGG19Features(nodes=tuple(nodes), dtype=dtype,
+                                    post_activation=post_activation)
         self.weights = tuple(weights)
 
     def init(self, key, image_shape=(1, 64, 64, 3)):

@@ -129,9 +129,9 @@ def identity_kernel(pad_to: int) -> jnp.ndarray:
 
 def _sample_beta(key: jax.Array, beta_range: Tuple[float, float]) -> jnp.ndarray:
     """Coin-flip between U(lo, 1) and U(1, hi) (reference imgproc.py:411-414)."""
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     lo = jax.random.uniform(k2, minval=beta_range[0], maxval=1.0)
-    hi = jax.random.uniform(k2, minval=1.0, maxval=beta_range[1])
+    hi = jax.random.uniform(k3, minval=1.0, maxval=beta_range[1])
     return jnp.where(jax.random.uniform(k1) < 0.5, lo, hi)
 
 

@@ -24,6 +24,15 @@ train_realesrgan.py:300-457) plus the host-side kernel synthesis + augments
   (imgproc.py:1913-1918), which can misalign the pair by up to
   (scale-1)/scale HR pixels; we sample the LR corner and multiply, keeping
   pairs exactly aligned.
+* Boundary-band approximation: stages after the first resize operate on the
+  full static canvas, whose region beyond the traced valid extent holds
+  edge-replicated values.  Resizes clamp their taps to the valid extent, but
+  the second blur (reflect-pad at the canvas edge) and DiffJPEG (8x8 blocks
+  straddling the extent boundary) do not — pixels within ~kernel-radius of
+  the valid region's right/bottom edge see replicated context instead of the
+  reference's true-size boundary semantics.  The affected band is a few
+  pixels of an intermediate that is subsequently resized and randomly
+  cropped; marginal image statistics are unchanged.
 """
 
 from __future__ import annotations

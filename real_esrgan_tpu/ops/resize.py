@@ -242,9 +242,14 @@ def resize_dynamic(image: jnp.ndarray,
             train_realesrnet.py:287,325).
 
     Returns:
-        (H2, W2, C) canvas; rows/cols beyond ``out_extent`` hold edge-clamped
-        garbage that downstream stages must ignore (they do: every consumer
-        clamps its own taps to the propagated valid extent).
+        (H2, W2, C) canvas; rows/cols beyond ``out_extent`` hold edge-
+        replicated values.  Downstream *resizes* clamp their taps to the
+        propagated valid extent, but filter2d (reflect-pads at the canvas
+        edge) and diff_jpeg (8x8 blocks straddling the extent boundary) do
+        not — pixels within ~kernel-radius of the valid-region right/bottom
+        boundary therefore see edge-replicated context instead of the
+        reference's true-size boundary semantics (a documented boundary-band
+        approximation; see ops/degradation.py).
     """
     h2, w2 = out_canvas
     h_in = jnp.asarray(in_extent[0], jnp.float32)

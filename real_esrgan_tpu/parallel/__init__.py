@@ -1,3 +1,4 @@
 from real_esrgan_tpu.parallel.mesh import (
-    make_mesh, batch_sharding, replicated_sharding, shard_batch,
+    make_mesh, batch_sharding, maybe_initialize_distributed,
+    replicated_sharding, shard_batch,
 )

@@ -7,8 +7,13 @@ into fixed-size overlapping tiles (context-parallelism over H x W instead of
 sequence length — SURVEY.md §5):
 
 * every tile has the SAME static shape -> one XLA compilation, MXU stays hot;
-* tiles are batched and the tile-batch axis is sharded across the device
-  mesh -> full multi-chip occupancy from a single input image;
+* the ENTIRE tile loop runs on device inside one jit: the padded image is
+  transferred once, ``lax.map`` iterates tile batches (no per-batch host
+  dispatch — on a relayed TPU each dispatch costs an RTT), tiles are gathered
+  by vmapped dynamic_slice, and the halo-trimmed cores are stitched on device;
+* within each batch the tile axis is sharded across the device mesh
+  (``with_sharding_constraint``) -> full multi-chip occupancy from a single
+  input image;
 * each tile's output keeps only its central region (halo trimmed), so seams
   only reflect receptive-field truncation beyond ``overlap`` pixels.
 """
@@ -16,13 +21,53 @@ sequence length — SURVEY.md §5):
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from real_esrgan_tpu.parallel.mesh import batch_sharding, make_mesh
+
+# jitted tiled programs keyed by (apply_fn identity, geometry); bounded in
+# practice by the handful of distinct image-shape buckets a server sees
+_FN_CACHE: Dict[Tuple, Callable] = {}
+
+
+def _build_tiled_fn(apply_fn: Callable, ny: int, nx: int, tile: int,
+                    overlap: int, tile_batch: int, scale: int,
+                    n_batches: int, sharding) -> Callable:
+    """One jitted program: padded image in, stitched SR canvas out."""
+    core = tile - 2 * overlap
+    n_tiles = ny * nx
+    c_s = core * scale
+    o_s = overlap * scale
+
+    def fn(params, padded):
+        channels = padded.shape[-1]
+
+        def get_tile(flat):
+            flat = jnp.minimum(flat, n_tiles - 1)  # tail batch: repeat last
+            y0 = (flat // nx) * core
+            x0 = (flat % nx) * core
+            return jax.lax.dynamic_slice(padded, (y0, x0, 0),
+                                         (tile, tile, channels))
+
+        def run_batch(i):
+            flat = i * tile_batch + jnp.arange(tile_batch)
+            tiles = jax.vmap(get_tile)(flat)
+            if sharding is not None:
+                tiles = jax.lax.with_sharding_constraint(tiles, sharding)
+            sr = apply_fn(params, tiles)
+            return sr[:, o_s:o_s + c_s, o_s:o_s + c_s, :]
+
+        cores = jax.lax.map(run_batch, jnp.arange(n_batches))
+        cores = cores.reshape(n_batches * tile_batch, c_s, c_s, channels)
+        cores = cores[:n_tiles].reshape(ny, nx, c_s, c_s, channels)
+        return cores.transpose(0, 2, 1, 3, 4).reshape(ny * c_s, nx * c_s,
+                                                      channels)
+
+    return jax.jit(fn)
 
 
 def tiled_upscale(apply_fn: Callable, params, image: np.ndarray,
@@ -50,6 +95,7 @@ def tiled_upscale(apply_fn: Callable, params, image: np.ndarray,
 
     ny = max(1, math.ceil(h / core))
     nx = max(1, math.ceil(w / core))
+    n_batches = math.ceil(ny * nx / tile_batch)
 
     # reflect-pad so every core cell is fully covered and halos are in-bounds
     pad_h = overlap + (ny * core - h) + overlap
@@ -57,34 +103,13 @@ def tiled_upscale(apply_fn: Callable, params, image: np.ndarray,
     padded = np.pad(image, ((overlap, pad_h - overlap),
                             (overlap, pad_w - overlap), (0, 0)), mode="reflect")
 
-    tiles = np.empty((ny * nx, tile, tile, c), np.float32)
-    for iy in range(ny):
-        for ix in range(nx):
-            y0, x0 = iy * core, ix * core
-            tiles[iy * nx + ix] = padded[y0:y0 + tile, x0:x0 + tile]
+    key = (id(apply_fn), ny, nx, tile, overlap, tile_batch, scale, n_batches,
+           id(mesh))
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = _build_tiled_fn(apply_fn, ny, nx, tile, overlap, tile_batch,
+                             scale, n_batches, batch_sharding(mesh))
+        _FN_CACHE[key] = fn
 
-    # pad tile count to a full batch and run fixed-size batches
-    n_tiles = tiles.shape[0]
-    n_batches = math.ceil(n_tiles / tile_batch)
-    if n_tiles < n_batches * tile_batch:
-        reps = np.repeat(tiles[-1:], n_batches * tile_batch - n_tiles, axis=0)
-        tiles = np.concatenate([tiles, reps], axis=0)
-
-    sharding = batch_sharding(mesh)
-    fn = jax.jit(apply_fn)
-    outs = []
-    for i in range(n_batches):
-        batch = jax.device_put(
-            jnp.asarray(tiles[i * tile_batch:(i + 1) * tile_batch]), sharding)
-        outs.append(np.asarray(fn(params, batch)))
-    sr_tiles = np.concatenate(outs, axis=0)[:n_tiles]
-
-    # stitch core regions
-    out = np.empty((ny * core * scale, nx * core * scale, c), np.float32)
-    o_s, c_s = overlap * scale, core * scale
-    for iy in range(ny):
-        for ix in range(nx):
-            srt = sr_tiles[iy * nx + ix]
-            out[iy * c_s:(iy + 1) * c_s, ix * c_s:(ix + 1) * c_s] = (
-                srt[o_s:o_s + c_s, o_s:o_s + c_s])
+    out = np.asarray(fn(params, jnp.asarray(padded)))
     return out[:h * scale, :w * scale]

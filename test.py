@@ -23,6 +23,9 @@ from real_esrgan_tpu.utils.meters import AverageMeter
 
 
 def main(args) -> float:
+    from real_esrgan_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # no-op on a single host
     pipeline = SRPipeline(
         weights_path=args.model_path if (args.model_path and
                                          os.path.exists(args.model_path)) else "",

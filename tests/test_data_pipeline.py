@@ -52,6 +52,21 @@ def test_threaded_loader_batches_and_drop_last(tmp_path):
     assert len(batches2) == 2
 
 
+def test_threaded_loader_deterministic_across_runs(tmp_path):
+    """Fixed seed => identical batch composition AND crops, independent of
+    thread scheduling (crop RNG keyed by sample index, batches reassembled
+    in shuffled order)."""
+    d = _make_dir_of_images(tmp_path, n=8, size=64)
+    runs = []
+    for _ in range(2):
+        loader = ThreadedLoader(TrainImageDataset(d, 32), batch_size=4,
+                                num_workers=3, seed=7)
+        runs.append(list(iter(loader)))
+    assert len(runs[0]) == len(runs[1]) == 2
+    for a, b in zip(runs[0], runs[1]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_valid_dataset_pair_geometry(tmp_path):
     d = _make_dir_of_images(tmp_path, n=2, size=80)
     ds = ValidImageDataset(d, crop_size=64, scale=4)

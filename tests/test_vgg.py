@@ -33,9 +33,11 @@ def _random_torchvision_vgg_state(upto_index=34):
     return sd
 
 
-def _torch_vgg_features(sd, x, nodes):
-    """Independent torch functional VGG19 forward returning pre-activation
-    taps at the given conv names."""
+def _torch_vgg_features(sd, x, nodes, post_activation):
+    """Independent torch functional VGG19 forward returning taps at the given
+    conv names.  post_activation=True mirrors the reference's effective
+    runtime behavior: nn.ReLU(inplace=True) mutates the FX-extracted conv
+    output in place, so the loss sees post-ReLU features."""
     name_of = TORCHVISION_INDEX
     pool_after = {4, 9, 18, 27, 36}
     taps = {}
@@ -46,9 +48,9 @@ def _torch_vgg_features(sd, x, nodes):
         if f"features.{idx}.weight" in sd:
             pre = F.conv2d(t, sd[f"features.{idx}.weight"],
                            sd[f"features.{idx}.bias"], padding=1)
-            if name_of.get(idx) in nodes:
-                taps[name_of[idx]] = pre
             t = F.relu(pre)
+            if name_of.get(idx) in nodes:
+                taps[name_of[idx]] = t if post_activation else pre
     return [taps[n] for n in nodes]
 
 
@@ -57,16 +59,18 @@ def test_vgg_features_match_torch():
     params = convert_vgg19(sd)
     x = RNG.random((1, 3, 64, 64)).astype(np.float32)
 
-    with torch.no_grad():
-        expected = _torch_vgg_features(sd, torch.from_numpy(x), DEFAULT_NODES)
+    for post in (True, False):
+        with torch.no_grad():
+            expected = _torch_vgg_features(sd, torch.from_numpy(x),
+                                           DEFAULT_NODES, post)
 
-    vgg = VGG19Features(nodes=DEFAULT_NODES)
-    got = vgg.apply({"params": params},
-                    jnp.asarray(x.transpose(0, 2, 3, 1)))
-    assert len(got) == 5
-    for g, e in zip(got, expected):
-        np.testing.assert_allclose(np.array(g).transpose(0, 3, 1, 2),
-                                   e.numpy(), atol=2e-4, rtol=1e-3)
+        vgg = VGG19Features(nodes=DEFAULT_NODES, post_activation=post)
+        got = vgg.apply({"params": params},
+                        jnp.asarray(x.transpose(0, 2, 3, 1)))
+        assert len(got) == 5
+        for g, e in zip(got, expected):
+            np.testing.assert_allclose(np.array(g).transpose(0, 3, 1, 2),
+                                       e.numpy(), atol=2e-4, rtol=1e-3)
 
 
 def test_content_loss_weighting_and_zero():

@@ -25,7 +25,10 @@ from real_esrgan_tpu.data import (
 )
 from real_esrgan_tpu.metrics.niqe import NIQE
 from real_esrgan_tpu.models.convert import convert_vgg19
-from real_esrgan_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+from real_esrgan_tpu.parallel import (
+    batch_sharding, make_mesh, maybe_initialize_distributed,
+    replicated_sharding,
+)
 from real_esrgan_tpu.train import checkpoint as ckpt_lib
 from real_esrgan_tpu.train.esrgan import (
     GanTrainState, build_models, build_optimizers, init_gan_state,
@@ -51,6 +54,9 @@ def load_vgg_params(vgg, cfg) -> dict:
 
 
 def main(args) -> None:
+    # Multi-host: span jax.devices() over the whole pod before mesh creation
+    # (SURVEY §5 distributed plan; no-op on a single host).
+    maybe_initialize_distributed()
     geo = run_config.geometry
     kcfg = run_config.kernel_synthesis
     dcfg = run_config.degradation
@@ -157,15 +163,24 @@ def main(args) -> None:
         end = time.time()
 
         prefetcher = DevicePrefetcher(loader, sharding=data_sharding)
+        # Accumulate every step's metrics on device (async adds); fetch one
+        # window mean per print interval so epoch averages cover every
+        # iteration without per-step syncs.
+        acc, window_n = None, 0
         for batch_index, hr_uint8 in enumerate(prefetcher):
             state, metrics = train_step(state, hr_uint8, key)
+            acc = (metrics if acc is None
+                   else jax.tree_util.tree_map(jnp.add, acc, metrics))
+            window_n += 1
             if batch_index % cfg.print_frequency == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                meters["Pixel"].update(m["pixel"], batch)
-                meters["Content"].update(m["content"], batch)
-                meters["Adversarial"].update(m["adversarial"], batch)
-                meters["D(HR)"].update(m["d_hr_prob"], batch)
-                meters["D(SR)"].update(m["d_sr_prob"], batch)
+                m = {k: float(v) / window_n for k, v in acc.items()}
+                n = batch * window_n
+                acc, window_n = None, 0
+                meters["Pixel"].update(m["pixel"], n)
+                meters["Content"].update(m["content"], n)
+                meters["Adversarial"].update(m["adversarial"], n)
+                meters["D(HR)"].update(m["d_hr_prob"], n)
+                meters["D(SR)"].update(m["d_sr_prob"], n)
                 if writer is not None:
                     iters = batch_index + epoch * steps_per_epoch + 1
                     writer.add_scalar("Train/D_Loss", m["d_loss"], iters)
@@ -183,9 +198,11 @@ def main(args) -> None:
 
         ema_host = jax.device_get(state.g_ema)
         if valid_ds:
-            validate(eval_fn, ema_host, valid_ds, niqe_model, "Valid", epoch, writer)
+            validate(eval_fn, ema_host, valid_ds, niqe_model, "Valid", epoch,
+                     writer, scale=model_cfg.upscale_factor)
         niqe = (validate(eval_fn, ema_host, test_ds, niqe_model, "Test", epoch,
-                         writer) if test_ds else 100.0)
+                         writer, scale=model_cfg.upscale_factor)
+                if test_ds else 100.0)
         print("")
 
         is_best = niqe < best_niqe

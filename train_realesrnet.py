@@ -27,7 +27,10 @@ from real_esrgan_tpu.data import (
     ValidImageDataset,
 )
 from real_esrgan_tpu.metrics.niqe import NIQE
-from real_esrgan_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+from real_esrgan_tpu.parallel import (
+    batch_sharding, make_mesh, maybe_initialize_distributed,
+    replicated_sharding,
+)
 from real_esrgan_tpu.train import checkpoint as ckpt_lib
 from real_esrgan_tpu.train.esrnet import (
     TrainState, build_generator, build_optimizer, init_state, make_eval_fn,
@@ -71,12 +74,24 @@ class SyntheticHRDataset:
 
 
 def validate(eval_fn, params, dataset, niqe_model, name: str, epoch: int,
-             writer=None) -> float:
+             writer=None, scale: int = 4, bucket: int = 32) -> float:
+    """Per-epoch NIQE over a directory of arbitrarily-sized images.
+
+    LR inputs are edge/reflect-padded up to ``bucket`` multiples before the
+    jitted forward and the SR cropped back, so shape variety (Set5/Set14)
+    costs one XLA compile per bucket instead of one per image — same
+    discipline as serve.SRPipeline (reference test.py jits per shape)."""
     niqe_meter = AverageMeter("NIQE", ":4.2f")
     for i in range(len(dataset)):
-        sample = dataset[i]
-        sr = eval_fn(params, jnp.asarray(sample["lr"][None]))
-        score = float(niqe_model(np.asarray(sr))[0])
+        lr = dataset[i]["lr"]
+        h, w, _ = lr.shape
+        hb = -(-h // bucket) * bucket
+        wb = -(-w // bucket) * bucket
+        mode = "reflect" if min(h, w) > max(hb - h, wb - w) else "edge"
+        padded = np.pad(lr, ((0, hb - h), (0, wb - w), (0, 0)), mode=mode)
+        sr = eval_fn(params, jnp.asarray(padded[None]))
+        sr = np.asarray(sr)[:, :h * scale, :w * scale]
+        score = float(niqe_model(sr)[0])
         niqe_meter.update(score, 1)
     print(f"{name}: * NIQE {niqe_meter.avg:4.2f}", flush=True)
     if writer is not None:
@@ -85,6 +100,9 @@ def validate(eval_fn, params, dataset, niqe_model, name: str, epoch: int,
 
 
 def main(args) -> None:
+    # Multi-host: span jax.devices() over the whole pod before mesh creation
+    # (SURVEY §5 distributed plan; no-op on a single host).
+    maybe_initialize_distributed()
     geo = run_config.geometry
     kcfg = run_config.kernel_synthesis
     dcfg = run_config.degradation
@@ -168,12 +186,21 @@ def main(args) -> None:
         end = time.time()
 
         prefetcher = DevicePrefetcher(loader, sharding=data_sharding)
+        # Every-step loss accumulation happens ON DEVICE (async adds, no sync);
+        # the host fetches one window mean per print interval, so the epoch
+        # average covers every iteration (reference train_realesrnet.py:397)
+        # without a per-step device round-trip.
+        loss_window, window_n = None, 0
         for batch_index, hr_uint8 in enumerate(prefetcher):
             data_time.update(time.time() - end)
             state, metrics = train_step(state, hr_uint8, key)
+            loss_window = (metrics["loss"] if loss_window is None
+                           else loss_window + metrics["loss"])
+            window_n += 1
             if batch_index % cfg.print_frequency == 0:
-                loss = float(metrics["loss"])  # sync point, only when printing
-                losses.update(loss, batch)
+                loss = float(loss_window) / window_n  # sync point
+                losses.update(loss, batch * window_n)
+                loss_window, window_n = None, 0
                 if writer is not None:
                     writer.add_scalar("Train/Loss", loss,
                                       batch_index + epoch * steps_per_epoch + 1)
@@ -185,9 +212,11 @@ def main(args) -> None:
 
         ema_host = jax.device_get(state.ema_params)
         if valid_ds:
-            validate(eval_fn, ema_host, valid_ds, niqe_model, "Valid", epoch, writer)
+            validate(eval_fn, ema_host, valid_ds, niqe_model, "Valid", epoch,
+                     writer, scale=model_cfg.upscale_factor)
         niqe = (validate(eval_fn, ema_host, test_ds, niqe_model, "Test", epoch,
-                         writer) if test_ds else 100.0)
+                         writer, scale=model_cfg.upscale_factor)
+                if test_ds else 100.0)
         print("")
 
         is_best = niqe < best_niqe
