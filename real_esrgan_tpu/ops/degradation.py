@@ -153,7 +153,8 @@ def degrade(key: jax.Array,
         jax.random.split(k_sinc, b))
     ident = identity_kernel(kcfg.pad_to)
 
-    usm_kernel = jnp.asarray(gaussian_kernel_1d(dcfg.usm_radius, 0.0))
+    # host numpy (static config): folded into dense blur matrices at trace time
+    usm_kernel = gaussian_kernel_1d(dcfg.usm_radius, 0.0)
     out = usm_sharpen(hr, usm_kernel, dcfg.usm_weight, dcfg.usm_threshold)
 
     # ---------------- first-order degradation ----------------

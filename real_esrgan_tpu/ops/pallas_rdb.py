@@ -32,9 +32,21 @@ tile=32 (14.9-16.0 ms/RDB vs ~1.8 ms).  Bisected:
     the remote Mosaic compiler.
 Kept as an experimental opt-in (`Generator` does NOT use it); the XLA
 source-packed formulation in models/rrdbnet.py is the production path.
-Round-2 plan: eliminate per-tap slicing by restructuring the conv as a
-K=9*Cin single matmul over VMEM-resident im2col patches built once per tile
-(or a lane-major layout where tap shifts are free), with double-buffered DMA.
+
+ROUND-2 CONCLUSION (measured on v5e via the axon relay, tools/pallas_conv_exp.py):
+the planned im2col redesign was built and bisected — a single conv as a
+lane-packed (rows*W, 3C) patch matrix + 3 sublane-aligned MXU dots is
+numerically exact but still loses to XLA (29 vs 43 TF/s).  The root cause is
+NOT the kernel structure: Mosaic's matmul codegen itself tops out far below
+XLA's on this toolchain —
+    pure VMEM-resident dot, 32 reps in-kernel, f32 acc:
+      (8192x192)@(192x192)   10.2 TF/s     (2048x512)@(512x512)  19.5 TF/s
+      (8192x96)@(96x160)      4.5 TF/s     (1024^3)              35.5 TF/s
+    vs XLA bf16 matmul peak on the same chip: 144.7 TF/s (8192^3),
+    and XLA's own 3x3 convs: 46 TF/s at Cin=64, 106 TF/s at Cin=128.
+No VMEM-residency win can recover a 4x codegen deficit, so a fused-RDB
+Pallas kernel CANNOT beat XLA here; the perf work moved to XLA-level
+formulations (models/rrdbnet.py) and the degradation pipeline instead.
 """
 
 from __future__ import annotations

@@ -88,7 +88,7 @@ def make_gan_train_step(generator, discriminator, vgg, vgg_params,
                         cfg: GanTrainConfig) -> Callable:
     """Returns jitted (state, hr_uint8, key) -> (state, metrics)."""
     content_weights = jnp.asarray(cfg.content_weights, jnp.float32)
-    usm_kernel = jnp.asarray(gaussian_kernel_1d(dcfg.usm_radius, 0.0))
+    usm_kernel = gaussian_kernel_1d(dcfg.usm_radius, 0.0)  # host numpy, static
     bce = optax.sigmoid_binary_cross_entropy
 
     def content_loss(sr_sharp, hr):

@@ -152,3 +152,16 @@ def test_ema_pytree():
     ema2 = ema_update(ema, new_params, 0.9)
     np.testing.assert_allclose(np.array(ema2["a"]), 1.1)
     np.testing.assert_allclose(np.array(ema2["b"]["c"]), 0.1)
+
+
+def test_subpixel_upsample_equivalence():
+    """The subpixel upsampling conv must equal upsample->conv exactly
+    (same params, float32), including image edges."""
+    x = jnp.asarray(RNG.random((2, 7, 5, 3)).astype(np.float32))
+    g_sub = Generator(num_rrdb=1, subpixel=True)
+    g_ref = Generator(num_rrdb=1, subpixel=False)
+    params = g_sub.init(jax.random.PRNGKey(3), jnp.zeros((1, 8, 8, 3)))["params"]
+    a = np.array(g_sub.apply({"params": params}, x))
+    b = np.array(g_ref.apply({"params": params}, x))
+    assert a.shape == b.shape == (2, 28, 20, 3)
+    np.testing.assert_allclose(a, b, atol=3e-6)

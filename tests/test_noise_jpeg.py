@@ -133,8 +133,13 @@ def test_diffjpeg_quality_100_no_nan():
 
 
 def test_poisson_approx_matches_moments():
-    """The rounded-normal approximation must match exact Poisson noise in
-    mean and variance (it only differs in skew for dark pixels)."""
+    """The Cornish-Fisher skew-corrected approximation (the default sampler)
+    must match exact Poisson noise in mean, variance AND skewness."""
+
+    def skew(x):
+        x = x - x.mean()
+        return (x ** 3).mean() / (x ** 2).mean() ** 1.5
+
     # realistic content: many distinct levels -> vals=256, rates ~ O(100)
     img = (RNG.random((1, 128, 128, 3)) * 0.8 + 0.1).astype(np.float32)
     n_exact = np.array(poisson_noise(jax.random.PRNGKey(7), jnp.asarray(img),
@@ -143,3 +148,20 @@ def test_poisson_approx_matches_moments():
                                       jnp.ones(1), jnp.zeros(1), approx=True))
     np.testing.assert_allclose(n_exact.mean(), n_approx.mean(), atol=2e-3)
     np.testing.assert_allclose(n_exact.std(), n_approx.std(), rtol=0.05)
+    np.testing.assert_allclose(skew(n_exact), skew(n_approx), atol=0.03)
+
+    # dark image: small rates are where approximations diverge — the CF
+    # correction keeps the whole distribution close (KS <= ~0.03 at lam=0.25)
+    dark = np.full((1, 192, 192, 3), 8 / 255.0, np.float32)  # lam ~ 8
+    e = np.array(poisson_noise(jax.random.PRNGKey(9), jnp.asarray(dark),
+                               jnp.ones(1), jnp.zeros(1), approx=False))
+    a = np.array(poisson_noise(jax.random.PRNGKey(10), jnp.asarray(dark),
+                               jnp.ones(1), jnp.zeros(1), approx=True))
+    np.testing.assert_allclose(e.std(), a.std(), rtol=0.05)
+    np.testing.assert_allclose(skew(e), skew(a), atol=0.08)
+    # empirical KS over the discrete noise values
+    lo, hi = min(e.min(), a.min()), max(e.max(), a.max())
+    grid = np.linspace(lo, hi, 64)
+    cdf_e = np.array([(e <= g).mean() for g in grid])
+    cdf_a = np.array([(a <= g).mean() for g in grid])
+    assert np.max(np.abs(cdf_e - cdf_a)) < 0.05

@@ -175,7 +175,8 @@ def _run_rdb(name, fn, args):
 def run_gen(args):
     from real_esrgan_tpu.models import Generator
 
-    model = Generator(upscale_factor=4, num_rrdb=23, dtype=jnp.bfloat16)
+    model = Generator(upscale_factor=4, num_rrdb=args.rrdb, dtype=jnp.bfloat16,
+                      subpixel=not args.no_subpixel)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
 
     def step(x):
@@ -188,6 +189,63 @@ def run_gen(args):
     mp = args.batch * (args.size * 4) ** 2 / 1e6
     print(f"gen: batch={args.batch} size={args.size}  {dt*1e3:.1f} ms  "
           f"-> {mp/dt:.2f} MP/s")
+
+
+def _shift3(x):
+    """(B,H,W,C) -> (B,H,W,3C): lane-concat of taps w-1, w, w+1 (zero pad)."""
+    w = x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    return jnp.concatenate([xp[:, :, 0:w], xp[:, :, 1:w + 1],
+                            xp[:, :, 2:w + 2]], -1)
+
+
+def _conv31(x3, k):
+    """3x1 conv over dx-packed input == exact 3x3 conv, Cin tripled.
+
+    k: (3, 3, Cin, Cout) original kernel."""
+    cout = k.shape[-1]
+    km = k.reshape(3, -1, cout)[:, None]  # (3, 1, 3*Cin, Cout), dx-major
+    return jax.lax.conv_general_dilated(
+        x3, km.astype(x3.dtype), (1, 1), ((1, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def rdb_dxpack(kernels, biases, x):
+    """Source-packed RDB where every conv is a 3x1 conv on dx-packed lanes."""
+    w_x, w_o1, w_o2, w_o3, w_o4 = _pack_source_major(kernels)
+    b1, b2, b3, b4, b5 = [b.astype(x.dtype) for b in biases]
+    base = _conv31(_shift3(x), w_x)
+    o1 = _lrelu(base[..., :G] + b1)
+    t2 = _conv31(_shift3(o1), w_o1)
+    o2 = _lrelu(base[..., G:2 * G] + t2[..., :G] + b2)
+    t3 = _conv31(_shift3(o2), w_o2)
+    o3 = _lrelu(base[..., 2 * G:3 * G] + t2[..., G:2 * G] + t3[..., :G] + b3)
+    t4 = _conv31(_shift3(o3), w_o3)
+    o4 = _lrelu(base[..., 3 * G:4 * G] + t2[..., 2 * G:3 * G]
+                + t3[..., G:2 * G] + t4[..., :G] + b4)
+    t5 = _conv31(_shift3(o4), w_o4)
+    o5 = (base[..., 4 * G:] + t2[..., 3 * G:] + t3[..., 2 * G:]
+          + t4[..., G:] + t5 + b5)
+    return o5 * jnp.asarray(0.2, x.dtype) + x
+
+
+def run_convscan31(args):
+    """3x1 convs on dx-packed inputs at the RDB's shapes (incl. pack cost)."""
+    for cin, cout in ((192, 192), (96, 160), (96, 128), (96, 96), (96, 64)):
+        k = jax.random.normal(jax.random.PRNGKey(0), (3, 3, cin // 3, cout),
+                              jnp.bfloat16) * 0.05
+        x = jax.random.uniform(jax.random.PRNGKey(1),
+                               (args.batch, args.size, args.size, cin // 3),
+                               jnp.bfloat16)
+
+        def step(v):
+            out = _conv31(_shift3(v), k)
+            return out[..., :cin // 3] * jnp.asarray(0.3, v.dtype)
+
+        dt = _chain_time(step, x, args.iters)
+        flops = 2 * 3 * cin * cout * args.batch * args.size ** 2
+        print(f"conv3x1 {cin:4d}->{cout:4d} (+pack): {dt*1e3:7.3f} ms  "
+              f"{flops/dt/1e12:6.1f} TF/s")
 
 
 def run_convscan(args):
@@ -230,13 +288,96 @@ def run_matscan(args):
               f"{flops/dt/1e12:6.1f} TF/s")
 
 
+def _chain_op_time(op, x0, iters, warmup=1):
+    """Time an op with shape-changing output: serialize via a scalar carry."""
+
+    @jax.jit
+    def chained(x0, n):
+        def body(i, c):
+            out = op(x0 * (1.0 + c * jnp.float32(1e-6)))
+            return jnp.mean(out.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    float(chained(x0, warmup))
+    t0 = time.perf_counter()
+    float(chained(x0, iters))
+    return (time.perf_counter() - t0) / iters
+
+
+def run_deg(args):
+    """Per-stage cost of the on-device degradation pipeline (bs, hr=400)."""
+    from real_esrgan_tpu.configuration import (
+        DegradationConfig, KernelSynthesisConfig, PipelineGeometry,
+    )
+    from real_esrgan_tpu.ops.blur_kernels import random_first_order_kernel
+    from real_esrgan_tpu.ops.degradation import _batched_resize, degrade
+    from real_esrgan_tpu.ops.diffjpeg import diff_jpeg
+    from real_esrgan_tpu.ops.filter2d import filter2d
+    from real_esrgan_tpu.ops.noise import gaussian_noise, poisson_noise
+    from real_esrgan_tpu.ops.usm import gaussian_kernel_1d, usm_sharpen
+
+    b = args.batch
+    geo = PipelineGeometry(hr_size=400, crop_size=256, scale=4)
+    kcfg, dcfg = KernelSynthesisConfig(), DegradationConfig()
+    c1, c2 = geo.canvas1, geo.canvas2
+    key = jax.random.PRNGKey(0)
+    print(f"geometry: hr={geo.hr_size} canvas1={c1} canvas2={c2} batch={b}")
+
+    hr = jax.random.uniform(key, (b, 400, 400, 3))
+    big = jax.random.uniform(key, (b, c1, c1, 3))
+    small = jax.random.uniform(key, (b, c2, c2, 3))
+    kernels = jax.vmap(lambda k: random_first_order_kernel(k, kcfg))(
+        jax.random.split(key, b))
+    usm_k = jnp.asarray(gaussian_kernel_1d(dcfg.usm_radius, 0.0))
+    sig = jnp.full((b,), 15.0)
+    gray = jnp.zeros((b,))
+    q = jnp.full((b,), 60.0)
+    ext_in = jnp.full((b,), 400, jnp.int32)
+    ext_out = jnp.full((b,), 560, jnp.int32)
+    ext2_in = jnp.full((b,), c1, jnp.int32)
+    ext2_out = jnp.full((b,), geo.lr_size, jnp.int32)
+
+    cases = {
+        "full degrade": (lambda v: degrade(key, v, geo, kcfg, dcfg)[0], hr),
+        "usm r51": (lambda v: usm_sharpen(v, usm_k, 0.5, 10.0), hr),
+        "kernel synth x b": (lambda v: filter2d(v[:, :21, :21, :1] * 0 + 1,
+            jax.vmap(lambda k: random_first_order_kernel(k, kcfg))(
+                jax.random.split(key, b))), hr),
+        "filter2d 21x21 @400": (lambda v: filter2d(v, kernels), hr),
+        "resize1 area 400->560@608": (
+            lambda v: _batched_resize(v, ext_in, ext_out, (c1, c1), 0), hr),
+        "resize1 cubic 400->560@608": (
+            lambda v: _batched_resize(v, ext_in, ext_out, (c1, c1), 2), hr),
+        "resize2 cubic 608->100@c2": (
+            lambda v: _batched_resize(v, ext2_in, ext2_out, (c2, c2), 2), big),
+        "gauss noise @608": (lambda v: gaussian_noise(key, v, sig, gray), big),
+        "poisson exact @608": (
+            lambda v: poisson_noise(key, v, sig * 0.1, gray, False), big),
+        "poisson approx @608": (
+            lambda v: poisson_noise(key, v, sig * 0.1, gray, True), big),
+        "diffjpeg @608": (lambda v: diff_jpeg(jnp.clip(v, 0, 1), q), big),
+        "diffjpeg @c2": (lambda v: diff_jpeg(jnp.clip(v, 0, 1), q), small),
+        "filter2d 21x21 @608": (lambda v: filter2d(v, kernels), big),
+    }
+    for name, (op, x0) in cases.items():
+        try:
+            dt = _chain_op_time(op, x0, args.iters)
+            print(f"{name:30s}: {dt*1e3:8.3f} ms")
+        except Exception as exc:  # keep the scan going
+            print(f"{name:30s}: FAILED {type(exc).__name__}: {exc}")
+
+
 EXPERIMENTS = {
+    "deg": run_deg,
     "convscan": run_convscan,
     "matscan": run_matscan,
     "peak": run_peak,
     "rdb": lambda a: _run_rdb("rdb_packed", rdb_packed, a),
     "rdb_naive": lambda a: _run_rdb("rdb_naive", rdb_naive, a),
     "rdb_im2col": lambda a: _run_rdb("rdb_im2col", rdb_im2col, a),
+    "rdb_dxpack": lambda a: _run_rdb("rdb_dxpack", rdb_dxpack, a),
+    "convscan31": run_convscan31,
     "gen": run_gen,
 }
 
@@ -247,6 +388,8 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--rrdb", type=int, default=23)
+    p.add_argument("--no-subpixel", action="store_true")
     args = p.parse_args()
     if args.exp == "all":
         for name, fn in EXPERIMENTS.items():
