@@ -112,15 +112,30 @@ class PipelineGeometry:
     def lr_crop_size(self) -> int:
         return self.crop_size // self.scale
 
+    # The resize KIND (up/down/keep) is drawn per batch on the host (matching
+    # the reference's Python-RNG granularity, train_realesrnet.py:279-287),
+    # so each batch compiles against the smallest canvas its branch needs:
+    # up-batches get the 1.5x/1.2x canvas, down/keep-batches the 1.0x one —
+    # every canvas-sized op (noise, JPEG, second blur) runs ~2x fewer pixels
+    # on the ~80% of batches that do not upscale.
+
+    def canvas1_for(self, up: bool) -> int:
+        """Stage-1 canvas (/16 for JPEG blocks)."""
+        factor = 1.5 if up else 1.0
+        return _round_up(int(self.hr_size * factor), 16)
+
+    def canvas2_for(self, up: bool) -> int:
+        """Stage-2 canvas (/16 for JPEG blocks)."""
+        factor = 1.2 if up else 1.0
+        return _round_up(int(self.lr_size * factor), 16)
+
     @property
     def canvas1(self) -> int:
-        """Stage-1 canvas: holds content up to 1.5x the HR size, /16 for JPEG."""
-        return _round_up(int(self.hr_size * 1.5), 16)
+        return self.canvas1_for(True)
 
     @property
     def canvas2(self) -> int:
-        """Stage-2 canvas: holds content up to 1.2x the LR size, /16 for JPEG."""
-        return _round_up(int(self.lr_size * 1.2), 16)
+        return self.canvas2_for(True)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -113,24 +113,31 @@ class ThreadedLoader:
     """
 
     def __init__(self, dataset: TrainImageDataset, batch_size: int,
-                 num_workers: int = 4, seed: int = 0, prefetch: int = 4):
+                 num_workers: int = 4, seed: int = 0, prefetch: int = 4,
+                 shard_id: int = 0, num_shards: int = 1):
+        """``shard_id``/``num_shards``: multi-host data parallelism — every
+        host draws the SAME seeded shuffle and takes a disjoint, equal-length
+        stride of it, so global coverage is exact and per-host step counts
+        match (required for collectives to stay in lockstep)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.shard_id = shard_id
+        self.num_shards = max(1, num_shards)
         self.epoch = 0
 
     def __len__(self):
-        return len(self.dataset) // self.batch_size
+        return (len(self.dataset) // self.num_shards) // self.batch_size
 
     def __iter__(self) -> Iterator[np.ndarray]:
         n = len(self.dataset)
         epoch = self.epoch
         order = np.random.default_rng(self.seed + epoch).permutation(n)
         self.epoch += 1
-        usable = (n // self.batch_size) * self.batch_size
-        order = order[:usable]
+        usable = ((n // self.num_shards) // self.batch_size) * self.batch_size
+        order = order[self.shard_id::self.num_shards][:usable]
 
         index_q: "queue.Queue" = queue.Queue()
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.batch_size)

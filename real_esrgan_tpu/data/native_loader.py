@@ -90,25 +90,31 @@ class NativeThreadedLoader:
     ThreadedLoader when all decoding should bypass Python)."""
 
     def __init__(self, files: List[str], batch_size: int, crop: int,
-                 num_threads: int = 8, seed: int = 0, prefetch: int = 2):
+                 num_threads: int = 8, seed: int = 0, prefetch: int = 2,
+                 shard_id: int = 0, num_shards: int = 1):
         self.files = list(files)
         self.batch_size = batch_size
         self.crop = crop
         self.seed = seed
         self.prefetch = prefetch
+        self.shard_id = shard_id
+        self.num_shards = max(1, num_shards)
         self.epoch = 0
         self._native = NativeBatchLoader(num_threads)
 
     def __len__(self):
-        return len(self.files) // self.batch_size
+        return (len(self.files) // self.num_shards) // self.batch_size
 
     def __iter__(self):
         import queue
 
         n = len(self.files)
-        order = np.random.default_rng(self.seed + self.epoch).permutation(n)
+        # same seeded shuffle on every host; disjoint equal-length strides
+        # (see ThreadedLoader) keep multi-host step counts in lockstep
+        full_order = np.random.default_rng(self.seed + self.epoch).permutation(n)
         self.epoch += 1
-        usable = (n // self.batch_size) * self.batch_size
+        usable = ((n // self.num_shards) // self.batch_size) * self.batch_size
+        order = full_order[self.shard_id::self.num_shards][:usable]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()

@@ -48,6 +48,11 @@ class DevicePrefetcher:
 
     def _put(self, batch):
         if self.sharding is not None:
+            if jax.process_count() > 1:
+                # multi-host: this host holds only its shard of the global
+                # batch; assemble the global sharded array from local data
+                return jax.make_array_from_process_local_data(
+                    self.sharding, batch)
             return jax.device_put(batch, self.sharding)
         return jax.device_put(batch)
 

@@ -11,15 +11,16 @@ train_realesrgan.py:300-457) plus the host-side kernel synthesis + augments
 * Random intermediate shapes become traced *valid extents* on static
   canvases (see ops/resize.resize_dynamic): canvas1 holds up to 1.5x the HR
   size for the first-stage up-resize, canvas2 up to 1.2x the LR size.
-* Stochastic choices split by cost. CHEAP randomness (resize scales, noise
-  strengths, gray masks, JPEG qualities, blur kernels, crops, orientation) is
-  drawn PER SAMPLE — identical marginals to the reference, more intra-batch
-  diversity, and it never multiplies compute.  EXPENSIVE structural choices
-  (interpolation mode, Gaussian-vs-Poisson family, second blur on/off, the
-  final order coin) are drawn PER BATCH as traced scalars through
-  lax.cond/switch — exactly the granularity the reference uses with Python
-  RNG (train_realesrnet.py:275-371), and only the chosen branch executes
-  (a traced per-sample choice would evaluate every branch and select).
+* Randomness granularity MATCHES THE REFERENCE exactly: per-sample where it
+  draws tensors (noise strengths, gray masks, JPEG qualities, blur kernels,
+  crops, orientation — imgproc.py's torch helpers), per-batch where it uses
+  Python RNG (resize kind+scale+interpolation mode, Gaussian-vs-Poisson
+  family, second blur on/off, the final order coin —
+  train_realesrnet.py:275-371).  Per-batch structural choices compile as
+  lax.cond/switch so only the chosen branch executes; the resize up-or-not
+  kind arrives as a STATIC host-drawn flag (``up1``/``up2``) because it
+  selects the canvas size — non-upscaling batches (~80%) run noise/JPEG/
+  blur2 on a ~2x smaller canvas.
 * Crop alignment: the reference samples the HR corner and floors for LR
   (imgproc.py:1913-1918), which can misalign the pair by up to
   (scale-1)/scale HR pixels; we sample the LR corner and multiply, keeping
@@ -59,15 +60,21 @@ from real_esrgan_tpu.ops.resize import resize_dynamic_static_method
 from real_esrgan_tpu.ops.usm import gaussian_kernel_1d, usm_sharpen
 
 
-def _random_scales(key: jax.Array, batch: int, probs: Tuple[float, float, float],
-                   srange: Tuple[float, float]) -> jnp.ndarray:
-    """Per-sample resize scale: up U(1, hi) / down U(lo, 1) / keep 1
-    (reference train_realesrnet.py:279-286)."""
-    k_kind, k_up, k_dn = jax.random.split(key, 3)
-    kind = jax.random.choice(k_kind, 3, (batch,), p=jnp.asarray(probs, jnp.float32))
-    up = jax.random.uniform(k_up, (batch,), minval=1.0, maxval=srange[1])
-    down = jax.random.uniform(k_dn, (batch,), minval=srange[0], maxval=1.0)
-    return jnp.where(kind == 0, up, jnp.where(kind == 1, down, 1.0))
+def _batch_scale(key: jax.Array, up: bool,
+                 probs: Tuple[float, float, float],
+                 srange: Tuple[float, float]) -> jnp.ndarray:
+    """One resize scale for the whole batch (reference
+    train_realesrnet.py:279-286 draws updown_type + scale with Python RNG
+    once per batch).  The up-vs-not choice arrives as a STATIC host-drawn
+    flag (it selects the canvas size); within the non-up branch the
+    down-vs-keep choice keeps its conditional probability as a traced coin."""
+    k_kind, k_val = jax.random.split(key)
+    if up:
+        return jax.random.uniform(k_val, (), minval=1.0, maxval=srange[1])
+    denom = probs[1] + probs[2]
+    p_keep = probs[2] / denom if denom > 0 else 0.0
+    down = jax.random.uniform(k_val, (), minval=srange[0], maxval=1.0)
+    return jnp.where(jax.random.uniform(k_kind) < p_keep, 1.0, down)
 
 
 def _batched_resize(images: jnp.ndarray, in_extent: jnp.ndarray,
@@ -117,12 +124,21 @@ def degrade(key: jax.Array,
             geo: PipelineGeometry,
             kcfg: KernelSynthesisConfig,
             dcfg: DegradationConfig,
-            augment: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            augment: bool = True,
+            up1: bool = False,
+            up2: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Synthesize (lr, hr) training pairs from raw HR uint8 crops, on device.
 
     Args:
         key: step RNG key.
         hr_uint8: (B, hr_size, hr_size, 3) uint8 RGB (or float in [0,1]).
+        up1 / up2: STATIC per-batch flags — whether the stage-1 / stage-2
+            random resize upscales.  Drawn on the host with probabilities
+            ``dcfg.resize_probs{1,2}[0]`` (the trainers do this per step),
+            mirroring the reference's per-batch Python RNG
+            (train_realesrnet.py:279-287).  Static because the flag picks
+            the canvas size: non-upscaling batches (~80%/70%) run every
+            canvas-sized op on a ~2x smaller canvas.
 
     Returns:
         lr: (B, lr_crop, lr_crop, 3) float32 in [0, 1].
@@ -132,7 +148,7 @@ def degrade(key: jax.Array,
     """
     b = hr_uint8.shape[0]
     hr_size, lr_size = geo.hr_size, geo.lr_size
-    c1, c2 = geo.canvas1, geo.canvas2
+    c1, c2 = geo.canvas1_for(up1), geo.canvas2_for(up2)
 
     keys = jax.random.split(key, 16)
     (k_orient, k_k1, k_k2, k_sinc, k_blur1, k_rs1, k_noise1, k_q1,
@@ -164,8 +180,9 @@ def degrade(key: jax.Array,
     out = filter2d(out, k1_eff, compute_dtype=jnp.bfloat16)
 
     k_s1, k_m1 = jax.random.split(k_rs1)
-    s1 = _random_scales(k_s1, b, dcfg.resize_probs1, dcfg.resize_range1)
-    extent1 = jnp.floor(hr_size * s1).astype(jnp.int32)
+    s1 = _batch_scale(k_s1, up1, dcfg.resize_probs1, dcfg.resize_range1)
+    extent1 = jnp.full((b,), 1, jnp.int32) * jnp.floor(
+        hr_size * s1).astype(jnp.int32)
     method1 = jax.random.randint(k_m1, (), 0, 3)       # per batch
     out = _batched_resize(out, jnp.full((b,), hr_size, jnp.int32), extent1,
                           (c1, c1), method1)
@@ -192,8 +209,9 @@ def degrade(key: jax.Array,
     out = jax.lax.cond(blur2_coin, do_blur2, lambda v: v, out)
 
     k_s2, k_m2 = jax.random.split(k_rs2)
-    s2 = _random_scales(k_s2, b, dcfg.resize_probs2, dcfg.resize_range2)
-    extent2 = jnp.floor(lr_size * s2).astype(jnp.int32)
+    s2 = _batch_scale(k_s2, up2, dcfg.resize_probs2, dcfg.resize_range2)
+    extent2 = jnp.full((b,), 1, jnp.int32) * jnp.floor(
+        lr_size * s2).astype(jnp.int32)
     method2 = jax.random.randint(k_m2, (), 0, 3)       # per batch
     out = _batched_resize(out, extent1, extent2, (c2, c2), method2)
 

@@ -126,9 +126,11 @@ def make_gan_train_step(generator, discriminator, vgg, vgg_params,
         return loss, aux
 
     def train_step(state: GanTrainState, hr_uint8: jnp.ndarray,
-                   key: jax.Array) -> Tuple[GanTrainState, Dict[str, jnp.ndarray]]:
+                   key: jax.Array, up1: bool, up2: bool
+                   ) -> Tuple[GanTrainState, Dict[str, jnp.ndarray]]:
         k_degrade, _ = jax.random.split(jax.random.fold_in(key, state.step))
-        lr_b, hr_b = degrade(k_degrade, hr_uint8, geo, kcfg, dcfg)
+        lr_b, hr_b = degrade(k_degrade, hr_uint8, geo, kcfg, dcfg,
+                             up1=up1, up2=up2)
 
         # ---- generator step (D frozen: grads only wrt g_params) ----
         (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
@@ -150,4 +152,11 @@ def make_gan_train_step(generator, discriminator, vgg, vgg_params,
                                   d_stats=d_stats, d_opt=d_opt)
         return new_state, {**g_aux, **d_aux}
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    jitted = jax.jit(train_step, static_argnums=(3, 4), donate_argnums=(0,))
+
+    def step(state, hr_uint8, key, up1: bool = False, up2: bool = False):
+        """up1/up2: host-drawn per-batch resize-upscale flags (see
+        ops/degradation.degrade); one compiled program per combination."""
+        return jitted(state, hr_uint8, key, bool(up1), bool(up2))
+
+    return step

@@ -73,10 +73,12 @@ def make_train_step(model: Generator, tx, geo: PipelineGeometry,
         sr = model.apply({"params": params}, lr_batch)
         return jnp.mean(jnp.abs(sr - hr_batch))
 
-    def train_step(state: TrainState, hr_uint8: jnp.ndarray,
-                   key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    def train_step(state: TrainState, hr_uint8: jnp.ndarray, key: jax.Array,
+                   up1: bool, up2: bool
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         k_degrade, _ = jax.random.split(jax.random.fold_in(key, state.step))
-        lr_batch, hr_batch = degrade(k_degrade, hr_uint8, geo, kcfg, dcfg)
+        lr_batch, hr_batch = degrade(k_degrade, hr_uint8, geo, kcfg, dcfg,
+                                     up1=up1, up2=up2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params, lr_batch, hr_batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -87,7 +89,14 @@ def make_train_step(model: Generator, tx, geo: PipelineGeometry,
                                ema_params=ema_params, opt_state=opt_state)
         return new_state, {"loss": loss}
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    jitted = jax.jit(train_step, static_argnums=(3, 4), donate_argnums=(0,))
+
+    def step(state, hr_uint8, key, up1: bool = False, up2: bool = False):
+        """up1/up2: host-drawn per-batch resize-upscale flags (see
+        ops/degradation.degrade); one compiled program per combination."""
+        return jitted(state, hr_uint8, key, bool(up1), bool(up2))
+
+    return step
 
 
 def make_eval_fn(model: Generator) -> Callable:

@@ -67,6 +67,23 @@ def test_threaded_loader_deterministic_across_runs(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_threaded_loader_multihost_sharding(tmp_path):
+    """Shards must be equal-length, lockstep, and jointly cover the shuffle
+    (the multi-host data-parallel contract)."""
+    d = _make_dir_of_images(tmp_path, n=9, size=48)
+    ds = TrainImageDataset(d, 32)
+    loaders = [ThreadedLoader(ds, batch_size=2, num_workers=2, seed=5,
+                              shard_id=i, num_shards=2) for i in range(2)]
+    assert len(loaders[0]) == len(loaders[1]) == 2  # 9//2 = 4 per shard -> 2
+    runs = [np.concatenate(list(iter(ld))) for ld in loaders]
+    assert runs[0].shape == runs[1].shape == (4, 32, 32, 3)
+    # disjoint: no crop from shard 0 appears in shard 1 (crops are keyed by
+    # sample index, so identical content would mean overlapping indices)
+    flat0 = {a.tobytes() for a in runs[0]}
+    flat1 = {a.tobytes() for a in runs[1]}
+    assert not flat0 & flat1
+
+
 def test_valid_dataset_pair_geometry(tmp_path):
     d = _make_dir_of_images(tmp_path, n=2, size=80)
     ds = ValidImageDataset(d, crop_size=64, scale=4)

@@ -71,6 +71,8 @@ def main(args) -> None:
     batch = args.batch_size or cfg.batch_size
     if batch % n_dev:
         batch = (batch // n_dev) * n_dev or n_dev
+    # each host loads its 1/process_count shard of the global batch
+    local_batch = batch // jax.process_count()
 
     if args.synthetic:
         train_ds = SyntheticHRDataset(geo.hr_size,
@@ -81,10 +83,11 @@ def main(args) -> None:
         valid_ds = ValidImageDataset(cfg.valid_image_dir, geo.crop_size, geo.scale)
         test_ds = TestImageDataset(cfg.test_lr_image_dir, cfg.test_hr_image_dir)
     if args.synthetic:
-        loader = ThreadedLoader(train_ds, batch, cfg.num_workers, seed=cfg.seed)
+        loader = ThreadedLoader(train_ds, local_batch, cfg.num_workers,
+                                seed=cfg.seed)
     else:
         from train_realesrnet import make_train_loader
-        loader = make_train_loader(train_ds, batch, cfg, geo)
+        loader = make_train_loader(train_ds, local_batch, cfg, geo)
     steps_per_epoch = len(loader)
     print(f"Loaded datasets: {len(train_ds)} train images, "
           f"{steps_per_epoch} steps/epoch, {n_dev} devices.")
@@ -163,12 +166,17 @@ def main(args) -> None:
         end = time.time()
 
         prefetcher = DevicePrefetcher(loader, sharding=data_sharding)
+        # per-batch resize-upscale coins, host-drawn like the reference's
+        # Python RNG (epoch-seeded so resume stays deterministic)
+        coin_rng = np.random.default_rng((cfg.seed, epoch, 17))
         # Accumulate every step's metrics on device (async adds); fetch one
         # window mean per print interval so epoch averages cover every
         # iteration without per-step syncs.
         acc, window_n = None, 0
         for batch_index, hr_uint8 in enumerate(prefetcher):
-            state, metrics = train_step(state, hr_uint8, key)
+            up1 = bool(coin_rng.random() < dcfg.resize_probs1[0])
+            up2 = bool(coin_rng.random() < dcfg.resize_probs2[0])
+            state, metrics = train_step(state, hr_uint8, key, up1, up2)
             acc = (metrics if acc is None
                    else jax.tree_util.tree_map(jnp.add, acc, metrics))
             window_n += 1
@@ -195,6 +203,9 @@ def main(args) -> None:
             else:
                 batch_time.update(time.time() - end)
             end = time.time()
+
+        if jax.process_index() != 0:
+            continue  # eval + checkpoint IO happen on the lead host only
 
         ema_host = jax.device_get(state.g_ema)
         if valid_ds:

@@ -41,7 +41,9 @@ from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
 
 def make_train_loader(train_ds, batch: int, cfg, geo):
     """Prefer the C++ decode+crop loader (GIL-free); fall back to Python
-    threads when the native library can't be built."""
+    threads when the native library can't be built.  ``batch`` is the
+    PER-HOST batch; on multi-host each process loads a disjoint file shard."""
+    shard = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
     try:
         from real_esrgan_tpu.data.native_loader import (
             NativeThreadedLoader, available,
@@ -51,10 +53,11 @@ def make_train_loader(train_ds, batch: int, cfg, geo):
             print("Using native C++ data loader.")
             return NativeThreadedLoader(train_ds.files, batch, geo.hr_size,
                                         num_threads=cfg.num_workers,
-                                        seed=cfg.seed)
+                                        seed=cfg.seed, **shard)
     except Exception as exc:
         print(f"Native loader unavailable ({exc}); using Python threads.")
-    return ThreadedLoader(train_ds, batch, cfg.num_workers, seed=cfg.seed)
+    return ThreadedLoader(train_ds, batch, cfg.num_workers, seed=cfg.seed,
+                          **shard)
 
 
 class SyntheticHRDataset:
@@ -118,18 +121,21 @@ def main(args) -> None:
     if batch % n_dev:
         batch = (batch // n_dev) * n_dev or n_dev
         print(f"Adjusted batch size to {batch} for {n_dev} devices.")
+    # each host loads its 1/process_count shard of the global batch
+    local_batch = batch // jax.process_count()
 
     # ---- data ----
     if args.synthetic:
         train_ds = SyntheticHRDataset(geo.hr_size,
                                       length=args.steps_per_epoch * batch)
         valid_ds, test_ds = [], []
-        loader = ThreadedLoader(train_ds, batch, cfg.num_workers, seed=cfg.seed)
+        loader = ThreadedLoader(train_ds, local_batch, cfg.num_workers,
+                                seed=cfg.seed)
     else:
         train_ds = TrainImageDataset(cfg.train_image_dir, geo.hr_size)
         valid_ds = ValidImageDataset(cfg.valid_image_dir, geo.crop_size, geo.scale)
         test_ds = TestImageDataset(cfg.test_lr_image_dir, cfg.test_hr_image_dir)
-        loader = make_train_loader(train_ds, batch, cfg, geo)
+        loader = make_train_loader(train_ds, local_batch, cfg, geo)
     steps_per_epoch = len(loader)
     print(f"Loaded datasets: {len(train_ds)} train images, "
           f"{steps_per_epoch} steps/epoch, {n_dev} devices.")
@@ -184,6 +190,9 @@ def main(args) -> None:
         progress = ProgressMeter(steps_per_epoch, [batch_time, data_time, losses],
                                  prefix=f"Epoch: [{epoch + 1}]")
         end = time.time()
+        # per-batch resize-upscale coins, host-drawn like the reference's
+        # Python RNG (epoch-seeded so resume stays deterministic)
+        coin_rng = np.random.default_rng((cfg.seed, epoch, 17))
 
         prefetcher = DevicePrefetcher(loader, sharding=data_sharding)
         # Every-step loss accumulation happens ON DEVICE (async adds, no sync);
@@ -193,7 +202,9 @@ def main(args) -> None:
         loss_window, window_n = None, 0
         for batch_index, hr_uint8 in enumerate(prefetcher):
             data_time.update(time.time() - end)
-            state, metrics = train_step(state, hr_uint8, key)
+            up1 = bool(coin_rng.random() < dcfg.resize_probs1[0])
+            up2 = bool(coin_rng.random() < dcfg.resize_probs2[0])
+            state, metrics = train_step(state, hr_uint8, key, up1, up2)
             loss_window = (metrics["loss"] if loss_window is None
                            else loss_window + metrics["loss"])
             window_n += 1
@@ -209,6 +220,9 @@ def main(args) -> None:
             else:
                 batch_time.update(time.time() - end)
             end = time.time()
+
+        if jax.process_index() != 0:
+            continue  # eval + checkpoint IO happen on the lead host only
 
         ema_host = jax.device_get(state.ema_params)
         if valid_ds:
