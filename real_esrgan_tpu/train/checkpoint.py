@@ -67,6 +67,26 @@ def load_generator_params(path: str, prefer_ema: bool = True) -> Dict[str, Any]:
     return tree
 
 
+def find_latest_checkpoint(samples_dir: str, prefix: str = "g_epoch_") -> str:
+    """Newest ``<prefix>N`` checkpoint dir under ``samples_dir`` ('' if none).
+
+    Backs the trainers' ``--resume auto`` elastic-restart mode: a preempted
+    job relaunches with the same command and picks up where it stopped
+    (the reference requires hand-editing config.py, README.md:53-58)."""
+    if not os.path.isdir(samples_dir):
+        return ""
+    best, best_n = "", -1
+    for name in os.listdir(samples_dir):
+        if name.startswith(prefix):
+            try:
+                n = int(name[len(prefix):])
+            except ValueError:
+                continue
+            if n > best_n and os.path.isdir(os.path.join(samples_dir, name)):
+                best, best_n = os.path.join(samples_dir, name), n
+    return best
+
+
 def restore_like(template: Any, restored: Any, what: str = "state",
                  on_mismatch: str = "raise") -> Any:
     """Rebuild ``restored`` with ``template``'s tree structure.

@@ -100,3 +100,49 @@ def test_restore_like_mismatch_semantics():
     # explicit opt-in fallback (used for optimizer states, safe to reinit)
     assert restore_like(template, {"a": np.ones(3)},
                         on_mismatch="template") is template
+
+
+def test_find_latest_checkpoint(tmp_path):
+    from real_esrgan_tpu.train.checkpoint import find_latest_checkpoint
+
+    assert find_latest_checkpoint(str(tmp_path / "missing")) == ""
+    for n in (1, 3, 12):
+        (tmp_path / f"g_epoch_{n}").mkdir()
+    (tmp_path / "g_epoch_bogus").mkdir()
+    (tmp_path / "d_epoch_20").mkdir()
+    assert find_latest_checkpoint(str(tmp_path)).endswith("g_epoch_12")
+    assert find_latest_checkpoint(str(tmp_path), "d_epoch_").endswith("d_epoch_20")
+
+
+def test_export_torch_cli(tmp_path):
+    """Orbax checkpoint -> reference .pth.tar -> framework re-ingest."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from real_esrgan_tpu.models import Generator
+    from real_esrgan_tpu.train.checkpoint import (
+        load_generator_params, save_checkpoint,
+    )
+    from scripts.export_torch import main as export_main
+
+    model = Generator(num_rrdb=1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))["params"]
+    ckpt = str(tmp_path / "g_best")
+    save_checkpoint(ckpt, {"epoch": 5, "best_niqe": 8.5, "params": params,
+                           "ema_params": params, "opt_state": {}})
+
+    out = str(tmp_path / "g_best.pth.tar")
+    export_main(argparse.Namespace(checkpoint=ckpt, output=out))
+
+    import torch
+
+    payload = torch.load(out, weights_only=False)
+    assert payload["epoch"] == 5
+    assert any(k.startswith("model.") for k in payload["ema_state_dict"])
+
+    back = load_generator_params(out)  # prefers ema, strips model. prefix
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(params), back)

@@ -98,10 +98,17 @@ def main(args) -> None:
                            discriminator, g_tx, d_tx, geo)
     vgg_params = load_vgg_params(vgg, cfg)
 
+    samples_dir = os.path.join("samples", cfg.exp_name)
     start_epoch, best_niqe = 0, 100.0
 
     # 3-way resume (reference train_realesrgan.py:60-109)
     resume = args.resume or cfg.resume
+    resume_g_auto = ""
+    if (args.resume_g or cfg.resume_g) == "auto":
+        # elastic restart: newest g/d epoch checkpoints from this experiment
+        resume_g_auto = ckpt_lib.find_latest_checkpoint(samples_dir, "g_epoch_")
+        if not resume_g_auto:
+            print("--resume-g auto: no checkpoint found, starting fresh.")
     if resume and os.path.exists(os.path.abspath(resume)):
         g_loaded = ckpt_lib.load_generator_params(resume, prefer_ema=False)
         state = state.replace(
@@ -109,6 +116,8 @@ def main(args) -> None:
             g_ema=ckpt_lib.merge_matching(jax.device_get(state.g_ema), g_loaded))
         print(f"Warm-started generator from `{resume}`.")
     resume_g = args.resume_g or cfg.resume_g
+    if resume_g == "auto":
+        resume_g = resume_g_auto
     if resume_g and os.path.exists(os.path.abspath(resume_g)):
         tree = ckpt_lib.load_checkpoint(resume_g)
         state = state.replace(
@@ -124,6 +133,8 @@ def main(args) -> None:
         best_niqe = float(tree.get("best_niqe", 100.0))
         print(f"Resumed generator GAN state from `{resume_g}`.")
     resume_d = args.resume_d or cfg.resume_d
+    if resume_d == "auto":
+        resume_d = ckpt_lib.find_latest_checkpoint(samples_dir, "d_epoch_")
     if resume_d and os.path.exists(os.path.abspath(resume_d)):
         tree = ckpt_lib.load_checkpoint(resume_d)
         state = state.replace(

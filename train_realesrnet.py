@@ -147,9 +147,15 @@ def main(args) -> None:
     state = jax.device_put(state, replicated_sharding(mesh))
     print("Build all model successfully.")
 
+    samples_dir = os.path.join("samples", run_config.exp_name)
     start_epoch, best_niqe = 0, 100.0
-    if args.resume or cfg.resume:
-        path = args.resume or cfg.resume
+    resume = args.resume or cfg.resume
+    if resume == "auto":  # elastic restart: newest epoch checkpoint, if any
+        resume = ckpt_lib.find_latest_checkpoint(samples_dir)
+        if not resume:
+            print("--resume auto: no checkpoint found, starting fresh.")
+    if resume:
+        path = resume
         tree = ckpt_lib.load_checkpoint(path)
         state = TrainState(
             step=jnp.asarray(tree["step"], jnp.int32),
@@ -169,7 +175,6 @@ def main(args) -> None:
     eval_fn = make_eval_fn(model)
     niqe_model = NIQE(crop_border=model_cfg.upscale_factor)
 
-    samples_dir = os.path.join("samples", run_config.exp_name)
     results_dir = os.path.join("results", run_config.exp_name)
     os.makedirs(samples_dir, exist_ok=True)
     os.makedirs(results_dir, exist_ok=True)
