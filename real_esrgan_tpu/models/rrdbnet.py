@@ -59,6 +59,36 @@ def _lrelu(x: jnp.ndarray) -> jnp.ndarray:
     return nn.leaky_relu(x, negative_slope=0.2)
 
 
+@jax.custom_vjp
+def _st_clamp(x):
+    """clamp(0, 1) with a straight-through gradient.
+
+    The reference clamps the generator output inside forward
+    (/root/reference/model.py:270) — a quirk this family's upstream
+    (basicsr RRDBNet) does NOT have.  A hard clamp's zero gradient outside
+    [0, 1] is a training trap: on bright data the randomly-initialized net
+    saturates most pixels, a step or two later 100% of them clamp, the
+    gradient vanishes identically and training is dead forever (reproduced
+    and bisected on real photos; the torch reference collapses the same
+    way).  Straight-through keeps the clamped VALUE (inference-identical)
+    while letting gradients pull saturated pixels back in-range —
+    gradients only differ from the reference where the reference's are
+    zero.  Generator(st_clamp=False) restores the hard-clamp gradient.
+    """
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def _st_clamp_fwd(x):
+    return jnp.clip(x, 0.0, 1.0), None
+
+
+def _st_clamp_bwd(_, g):
+    return (g,)
+
+
+_st_clamp.defvjp(_st_clamp_fwd, _st_clamp_bwd)
+
+
 def _conv3x3(x: jnp.ndarray, features: int, name: str, dtype: Any,
              rdb_init: bool = False) -> jnp.ndarray:
     """3x3 same conv registered directly under the calling module's scope."""
@@ -219,6 +249,9 @@ class Generator(nn.Module):
     # run each upsample+conv as a subpixel conv at low res (identical math,
     # same param tree, ~4x faster on the MXU; see _subpixel_upconv)
     subpixel: bool = True
+    # straight-through gradient for the output clamp (values identical;
+    # avoids the reference's saturation training trap — see _st_clamp)
+    st_clamp: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -256,4 +289,5 @@ class Generator(nn.Module):
 
         out = _lrelu(_conv3x3(out, self.channels, "conv3", self.dtype))
         out = _conv3x3(out, self.out_channels, "conv4", self.dtype)
-        return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+        out = out.astype(jnp.float32)
+        return _st_clamp(out) if self.st_clamp else jnp.clip(out, 0.0, 1.0)

@@ -165,3 +165,31 @@ def test_subpixel_upsample_equivalence():
     b = np.array(g_ref.apply({"params": params}, x))
     assert a.shape == b.shape == (2, 28, 20, 3)
     np.testing.assert_allclose(a, b, atol=3e-6)
+
+
+def test_st_clamp_escapes_saturation():
+    """The output clamp must pass gradients outside [0,1] (st_clamp=True,
+    default) — the reference's hard clamp zeroes them, which kills training
+    as soon as a bright batch saturates every pixel (observed on real data).
+    Values must be identical either way."""
+    from real_esrgan_tpu.models.rrdbnet import _st_clamp
+
+    x = jnp.asarray([-2.0, 0.5, 3.0])
+    np.testing.assert_allclose(np.asarray(_st_clamp(x)), [0.0, 0.5, 1.0])
+    g = jax.grad(lambda v: jnp.sum(_st_clamp(v)))(x)
+    np.testing.assert_allclose(np.asarray(g), [1.0, 1.0, 1.0])
+
+    # a generator whose conv4 bias forces full saturation: gradients to the
+    # trunk must survive with st_clamp and vanish with the hard clamp
+    x_img = jnp.asarray(RNG.random((1, 8, 8, 3)).astype(np.float32))
+    for st, expect_grad in ((True, True), (False, False)):
+        gmodel = Generator(num_rrdb=1, st_clamp=st)
+        params = gmodel.init(jax.random.PRNGKey(0), x_img)["params"]
+        params["conv4"]["bias"] = params["conv4"]["bias"] + 10.0  # all pixels > 1
+
+        def loss(p):
+            return jnp.mean(jnp.abs(gmodel.apply({"params": p}, x_img) - 0.5))
+
+        grads = jax.grad(loss)(params)
+        gnorm = float(sum(jnp.sum(g ** 2) for g in jax.tree_util.tree_leaves(grads)))
+        assert (gnorm > 1e-8) == expect_grad, (st, gnorm)
