@@ -167,6 +167,10 @@ class TrainConfig:
     seed: int = 0
     print_frequency: int = 200
     resume: str = ""
+    # save an epoch checkpoint every N epochs (1 = reference parity; raise it
+    # when checkpoint IO dominates, e.g. short epochs through a remote fs —
+    # best/last copies are still maintained on saving epochs)
+    checkpoint_frequency: int = 1
 
     # StepLR for ESRNet (step = epochs // 5, gamma 0.5; config.py:105-106);
     # 0 means "derive from epochs" so overriding epochs keeps the decay

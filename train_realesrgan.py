@@ -229,6 +229,8 @@ def main(args) -> None:
 
         is_best = niqe < best_niqe
         best_niqe = min(niqe, best_niqe)
+        if (epoch + 1) % cfg.checkpoint_frequency and (epoch + 1) != epochs:
+            continue
 
         g_payload = {"epoch": epoch + 1, "best_niqe": best_niqe,
                      "step": jax.device_get(state.step),

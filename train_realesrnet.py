@@ -240,6 +240,8 @@ def main(args) -> None:
 
         is_best = niqe < best_niqe
         best_niqe = min(niqe, best_niqe)
+        if (epoch + 1) % cfg.checkpoint_frequency and (epoch + 1) != epochs:
+            continue
         payload = {
             "epoch": epoch + 1,
             "best_niqe": best_niqe,
