@@ -51,6 +51,13 @@ def test_esrnet_main_end_to_end(tmp_path, monkeypatch):
     assert int(np.asarray(tree["step"])) == 2
     assert int(tree["epoch"]) == 1
 
+    # elastic restart: --resume auto must pick up the newest epoch
+    # checkpoint and continue into epoch 2
+    trainer.main(_args(epochs=2, resume="auto"))
+    tree2 = load_checkpoint(last)
+    assert int(tree2["epoch"]) == 2
+    assert int(np.asarray(tree2["step"])) == 4
+
 
 def test_esrgan_main_end_to_end(tmp_path, monkeypatch):
     import train_realesrgan as trainer
