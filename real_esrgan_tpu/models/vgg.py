@@ -24,6 +24,7 @@ from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 # VGG19 configuration "E": (name, out_channels); 'M' = 2x2/2 max pool.
 VGG19_LAYOUT: Tuple = (
@@ -45,8 +46,10 @@ TORCHVISION_INDEX = {
 # reference feature_model_extractor_nodes (config.py:131) in conv-name terms:
 DEFAULT_NODES = ("conv1_2", "conv2_2", "conv3_4", "conv4_4", "conv5_4")
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+# Host-side numpy (jit constant-folds): importing this module must never bind
+# a device backend.
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 class VGG19Features(nn.Module):

@@ -8,26 +8,30 @@ JAX re-design of the conversion family in the reference
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as _np
 
+# Module constants stay host-side numpy: jit traces constant-fold them, and
+# importing this module must never bind a device backend (the reference binds
+# its device exactly once, config.py:68 — never as an import side effect).
 # MATLAB rgb2ycbcr coefficients (x255 domain), BT.601.
-_RGB2Y = jnp.array([65.481, 128.553, 24.966])
-_RGB2YCBCR = jnp.array([
+_RGB2Y = _np.array([65.481, 128.553, 24.966], _np.float32)
+_RGB2YCBCR = _np.array([
     [65.481, -37.797, 112.0],
     [128.553, -74.203, -93.786],
     [24.966, 112.0, -18.214],
-])
-_YCBCR_BIAS = jnp.array([16.0, 128.0, 128.0])
+], _np.float32)
+_YCBCR_BIAS = _np.array([16.0, 128.0, 128.0], _np.float32)
 
-_YCBCR2RGB = jnp.array([
+_YCBCR2RGB = _np.array([
     [0.00456621, 0.00456621, 0.00456621],
     [0.0, -0.00153632, 0.00791071],
     [0.00625893, -0.00318811, 0.0],
-])
-_YCBCR2RGB_BIAS = jnp.array([-222.921, 135.576, -276.836])
+], _np.float32)
+_YCBCR2RGB_BIAS = _np.array([-222.921, 135.576, -276.836], _np.float32)
 
 # ITU-R 601-2 luma (torchvision rgb_to_grayscale; used by Poisson gray noise,
 # reference imgproc.py:888)
-_GRAY = jnp.array([0.299, 0.587, 0.114])
+_GRAY = _np.array([0.299, 0.587, 0.114], _np.float32)
 
 
 def rgb2ycbcr(image: jnp.ndarray, only_y: bool = False) -> jnp.ndarray:

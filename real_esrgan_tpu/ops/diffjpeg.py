@@ -59,21 +59,23 @@ def _idct_matrix() -> np.ndarray:
     return di * 0.25
 
 
-_DCT = jnp.asarray(_dct_matrix())
-_IDCT = jnp.asarray(_idct_matrix())
-_ALPHA = jnp.asarray(
+# Host-side numpy constants — jit constant-folds them; importing this module
+# must never bind a device backend (no import-side-effect device binding).
+_DCT = _dct_matrix()
+_IDCT = _idct_matrix()
+_ALPHA = (
     np.outer(np.array([1.0 / np.sqrt(2)] + [1.0] * 7),
              np.array([1.0 / np.sqrt(2)] + [1.0] * 7)).reshape(64).astype(np.float32))
 
-_RGB2YCBCR = jnp.asarray(np.array(
+_RGB2YCBCR = np.array(
     [[0.299, 0.587, 0.114],
      [-0.168736, -0.331264, 0.5],
-     [0.5, -0.418688, -0.081312]], dtype=np.float32).T)
-_YCBCR_SHIFT = jnp.asarray(np.array([0.0, 128.0, 128.0], dtype=np.float32))
-_YCBCR2RGB = jnp.asarray(np.array(
+     [0.5, -0.418688, -0.081312]], dtype=np.float32).T
+_YCBCR_SHIFT = np.array([0.0, 128.0, 128.0], dtype=np.float32)
+_YCBCR2RGB = np.array(
     [[1.0, 0.0, 1.402],
      [1.0, -0.344136, -0.714136],
-     [1.0, 1.772, 0.0]], dtype=np.float32).T)
+     [1.0, 1.772, 0.0]], dtype=np.float32).T
 
 
 def quality_to_factor(quality: jnp.ndarray) -> jnp.ndarray:
