@@ -1,24 +1,36 @@
-"""Flagship benchmark: x4 SR throughput of the 23-RRDB generator on one chip.
+"""Benchmark suite: the four headline throughput metrics on one chip.
 
-Prints ONE JSON line:
-  {"metric": "x4_sr_output_megapixels_per_sec_per_chip", "value": N,
-   "unit": "MP/s", "vs_baseline": R}
+Default (no args) measures ALL FOUR and prints one JSON line per metric —
+inference LAST so a last-line parser records the flagship number, which also
+carries the other three as extra keys:
+
+  x4_train_images_per_sec_per_chip        fused ESRNet step (degradation +
+                                          bf16 fwd/bwd + Adam + EMA)
+  x4_gan_train_images_per_sec_per_chip    fused G+D GAN step
+  x4_tiled_2k_to_8k_megapixels_per_sec    overlap-tile 2K->8K serving
+  x4_sr_output_megapixels_per_sec_per_chip  flagship batch inference
 
 Methodology: bf16 generator (23 RRDBs, 64ch — the reference architecture,
-/root/reference/model.py:206-275), 256x256 LR inputs -> 1024x1024 outputs.
-Timing uses a CHAINED jitted fori_loop (iteration i+1 consumes a slice of
-iteration i's output) with a single final scalar fetch: this forces serial
-device execution and is robust to async-dispatch / RPC-relay artifacts that
-make per-call wall timing unreliable on tunneled TPUs.
+/root/reference/model.py:206-275).  Inference timing uses a CHAINED jitted
+fori_loop (iteration i+1 consumes a slice of iteration i's output) with a
+single final scalar fetch: this forces serial device execution and is robust
+to async-dispatch / RPC-relay artifacts that make per-call wall timing
+unreliable on tunneled TPUs.  Train/GAN timing feeds state i into step i+1
+(same serialization property).
 
-The reference publishes no speed numbers (BASELINE.md).  ``vs_baseline`` is
-against an estimated 10 MP/s for the reference torch stack on one A100
-(fp16 autocast): the model costs ~2.24 TFLOP per output megapixel (counted
-from the conv shapes) and community A100 timings for RRDB x4 inference land
-around 0.4-0.5 s for a 512->2048 upscale (~8-10 MP/s, ~7% tensor-core
-utilization — the 32-out-channel dense convs underutilize wide MMA units on
-every accelerator).  vs_baseline > 1 means faster than the reference stack
-per chip.
+BASELINE PROVENANCE — the reference publishes NO speed numbers at all
+(/root/reference/README.md:80-85 is a NIQE quality table; SURVEY.md §6), so
+every ``vs_baseline`` denominator here is an ESTIMATE of the reference torch
+stack on one A100, stated per metric in ``baseline_note``:
+  * inference 10 MP/s: the model costs ~2.24 TFLOP per output megapixel
+    (counted from the conv shapes); community A100 timings for RRDB x4 land
+    around 0.4-0.5 s for a 512->2048 upscale (~8-10 MP/s, ~7% tensor-core
+    utilization — 32-out-channel dense convs underutilize wide MMA units).
+  * train 9 imgs/s: fwd+bwd ~3x inference FLOPs + the on-device degradation
+    chain at ~25% utilization for the reference's bs=48 AMP step.
+  * gan 4 imgs/s: adds a VGG19 double forward, a D triple pass and a second
+    optimizer (~halves the ESRNet step).
+vs_baseline > 1 means faster than the estimated reference stack per chip.
 """
 
 from __future__ import annotations
@@ -34,9 +46,16 @@ import numpy as np
 A100_BASELINE_MP_PER_S = 10.0
 
 
-def _resize_flags(iters: int, dcfg) -> list:
+def _resize_flags(iters: int, dcfg, mix: bool = True) -> list:
     """Host-drawn per-batch resize-upscale coins (the trainers' realistic
-    mix of canvas sizes; see ops/degradation.degrade)."""
+    mix of canvas sizes; see ops/degradation.degrade).
+
+    ``mix=False`` pins the most-probable combo (no upscale in either stage):
+    ONE compiled program instead of up to four — used by the all-mode driver
+    bench, where each extra combo costs minutes of relay compile time for a
+    few-percent effect on the steady-state rate."""
+    if not mix:
+        return [(False, False)] * iters
     coin = np.random.default_rng(7)
     return [(bool(coin.random() < dcfg.resize_probs1[0]),
              bool(coin.random() < dcfg.resize_probs2[0]))
@@ -71,7 +90,7 @@ def measure(batch: int, lr_size: int, iters: int) -> float:
     return out_mp * iters / dt
 
 
-def measure_train(batch: int, iters: int) -> float:
+def measure_train(batch: int, iters: int, mix: bool = True) -> float:
     """Full fused train step (degradation + fwd/bwd + Adam + EMA) imgs/sec.
 
     The state feedback (step i+1 consumes step i's state) forces serial
@@ -100,7 +119,7 @@ def measure_train(batch: int, iters: int) -> float:
     key = jax.random.PRNGKey(1)
 
     dcfg = DegradationConfig()
-    flags = _resize_flags(iters, dcfg)
+    flags = _resize_flags(iters, dcfg, mix)
     for combo in sorted(set(flags)):               # compile every combo
         state, metrics = step_fn(state, hr, key, *combo)
     float(metrics["loss"])
@@ -112,7 +131,7 @@ def measure_train(batch: int, iters: int) -> float:
     return batch * iters / dt
 
 
-def measure_gan(batch: int, iters: int) -> float:
+def measure_gan(batch: int, iters: int, mix: bool = True) -> float:
     """Full fused GAN step (degradation + G fwd/bwd + D two-pass fwd/bwd +
     two Adams + EMA + SN power iteration) imgs/sec."""
     import jax.random as jrandom
@@ -138,7 +157,7 @@ def measure_gan(batch: int, iters: int) -> float:
     rng = np.random.default_rng(0)
     hr = jnp.asarray((rng.random((batch, 400, 400, 3)) * 255).astype(np.uint8))
     key = jrandom.PRNGKey(1)
-    flags = _resize_flags(iters, DegradationConfig())
+    flags = _resize_flags(iters, DegradationConfig(), mix)
     for combo in sorted(set(flags)):               # compile every combo
         state, m = step_fn(state, hr, key, *combo)
     float(m["g_loss"])
@@ -192,56 +211,95 @@ def measure_tiled(iters: int, in_size: int = 2048, tile: int = 256,
     return (in_size * 4) ** 2 / 1e6 * iters / dt
 
 
+# Estimated A100 denominators — see BASELINE PROVENANCE in the module
+# docstring; the reference publishes no speed numbers to measure against.
+_BASELINES = {
+    "inference": (A100_BASELINE_MP_PER_S,
+                  "estimated: reference torch stack, 1xA100 fp16, ~2.24 "
+                  "TFLOP/MP at ~7% utilization (no published speed numbers)"),
+    "train": (9.0, "estimated: reference bs=48 AMP step on 1xA100 "
+                   "(~3x inference FLOPs + degradation at ~25% util)"),
+    "gan": (4.0, "estimated: ESRNet-step estimate halved for VGG19 double "
+                 "forward + D triple pass + second optimizer"),
+    "tiled": (A100_BASELINE_MP_PER_S,
+              "estimated: same per-MP cost as inference (reference has no "
+              "tiling; whole-image fallback)"),
+}
+
+
+def _line(mode: str, metric: str, value: float, unit: str, **extra) -> dict:
+    denom, note = _BASELINES[mode]
+    out = {"metric": metric, "value": round(value, 3), "unit": unit,
+           "vs_baseline": round(value / denom, 3), "baseline_note": note}
+    out.update(extra)
+    return out
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=("inference", "train", "gan", "tiled"),
-                   default="inference")
-    p.add_argument("--batch", type=int, default=0, help="0 = mode default (8 inference / 16 train)")
+    p.add_argument("--mode", choices=("all", "inference", "train", "gan", "tiled"),
+                   default="all")
+    p.add_argument("--batch", type=int, default=0,
+                   help="0 = mode default (16; best measured throughput "
+                        "batch for inference and train alike)")
     p.add_argument("--lr-size", type=int, default=256,
                    help="inference mode only; train/gan use the 400px HR geometry")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--budget", type=int, default=2700,
+                   help="all-mode wall-clock budget (s): heavy stages are "
+                        "skipped, not half-measured, when exceeded")
     a = p.parse_args()
     if not a.batch:
-        a.batch = 16 if a.mode in ("train", "gan") else 8
-    if a.mode == "gan":
-        imgs_per_s = measure_gan(a.batch, a.iters)
-        print(json.dumps({
-            "metric": "x4_gan_train_images_per_sec_per_chip",
-            "value": round(imgs_per_s, 3),
-            "unit": "imgs/s",
-            # A100 estimate ~4 imgs/s: the reference GAN step adds a VGG19
-            # double forward, D triple pass and a second optimizer to the
-            # ESRNet step (roughly halving throughput)
-            "vs_baseline": round(imgs_per_s / 4.0, 3),
-        }))
-        return
-    if a.mode == "tiled":
-        mp_per_s = measure_tiled(max(1, a.iters // 3))
-        print(json.dumps({
-            "metric": "x4_tiled_2k_to_8k_megapixels_per_sec",
-            "value": round(mp_per_s, 3),
-            "unit": "MP/s",
-            "vs_baseline": round(mp_per_s / A100_BASELINE_MP_PER_S, 3),
-        }))
+        # bs16 measured best for inference too (20.06 vs 19.72 MP/s at bs8;
+        # 512px 13.8, 128px 19.5 — tools/tail_exp sweep, round 3)
+        a.batch = 16
+
+    if a.mode == "inference":
+        print(json.dumps(_line("inference",
+                               "x4_sr_output_megapixels_per_sec_per_chip",
+                               measure(a.batch, a.lr_size, a.iters), "MP/s")))
         return
     if a.mode == "train":
-        imgs_per_s = measure_train(a.batch, a.iters)
-        print(json.dumps({
-            "metric": "x4_train_images_per_sec_per_chip",
-            "value": round(imgs_per_s, 3),
-            "unit": "imgs/s",
-            # A100 estimate: reference bs=48 AMP step ~= fwd+bwd of 2.24
-            # TFLOP/MP * 1MP out * 3 + degradation, at ~25% util -> ~9 imgs/s
-            "vs_baseline": round(imgs_per_s / 9.0, 3),
-        }))
+        print(json.dumps(_line("train", "x4_train_images_per_sec_per_chip",
+                               measure_train(a.batch, a.iters), "imgs/s")))
         return
-    mp_per_s = measure(a.batch, a.lr_size, a.iters)
-    print(json.dumps({
-        "metric": "x4_sr_output_megapixels_per_sec_per_chip",
-        "value": round(mp_per_s, 3),
-        "unit": "MP/s",
-        "vs_baseline": round(mp_per_s / A100_BASELINE_MP_PER_S, 3),
-    }))
+    if a.mode == "gan":
+        print(json.dumps(_line("gan", "x4_gan_train_images_per_sec_per_chip",
+                               measure_gan(a.batch, a.iters), "imgs/s")))
+        return
+    if a.mode == "tiled":
+        print(json.dumps(_line("tiled", "x4_tiled_2k_to_8k_megapixels_per_sec",
+                               measure_tiled(max(1, a.iters // 3)), "MP/s")))
+        return
+
+    # --mode all (default): measure everything, print the flagship line LAST
+    # so a last-line parser records it; it carries the other metrics too.
+    t_start = time.perf_counter()
+    flagship = measure(a.batch, a.lr_size, a.iters)
+    extras = {}
+    stages = [
+        ("tiled", "x4_tiled_2k_to_8k_megapixels_per_sec", "MP/s",
+         lambda: measure_tiled(3), "tiled_mp_per_s"),
+        ("train", "x4_train_images_per_sec_per_chip", "imgs/s",
+         lambda: measure_train(16, a.iters, mix=False), "train_imgs_per_s"),
+        ("gan", "x4_gan_train_images_per_sec_per_chip", "imgs/s",
+         lambda: measure_gan(16, a.iters, mix=False), "gan_imgs_per_s"),
+    ]
+    for mode, metric, unit, fn, extra_key in stages:
+        if time.perf_counter() - t_start > a.budget:
+            print(f"# skipped {mode}: over --budget {a.budget}s "
+                  f"(run `python bench.py --mode {mode}` for it)")
+            continue
+        try:
+            value = fn()
+        except Exception as exc:  # a failed stage must not hide the others
+            print(f"# {mode} stage failed: {type(exc).__name__}: {exc}")
+            continue
+        print(json.dumps(_line(mode, metric, value, unit)))
+        extras[extra_key] = round(value, 3)
+    print(json.dumps(_line("inference",
+                           "x4_sr_output_megapixels_per_sec_per_chip",
+                           flagship, "MP/s", **extras)))
 
 
 if __name__ == "__main__":
