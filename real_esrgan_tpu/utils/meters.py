@@ -1,64 +1,77 @@
-"""Console progress meters, keeping the reference trainer UX
-(/root/reference/train_realesrnet.py:497-561)."""
+"""Console progress meters.
+
+Keeps the reference trainers' console UX — per-interval `name current (avg)`
+columns behind an `Epoch: [N][ i/total]` prefix (see
+/root/reference/train_realesrnet.py console output) — with this framework's
+own mechanics: meters are small dataclasses holding running statistics,
+formatting uses plain `format()` specs (e.g. ``"6.3f"``), and the epoch
+summary mode is a string literal instead of an enum.
+"""
 
 from __future__ import annotations
 
-from enum import Enum
+from dataclasses import dataclass, field
+from typing import List, Literal, Sequence
+
+SummaryMode = Literal["avg", "sum", "count", "none"]
 
 
-class Summary(Enum):
-    NONE = 0
-    AVERAGE = 1
-    SUM = 2
-    COUNT = 3
-
-
+@dataclass
 class AverageMeter:
-    def __init__(self, name: str, fmt: str = ":f",
-                 summary_type: Summary = Summary.AVERAGE):
-        self.name = name
-        self.fmt = fmt
-        self.summary_type = summary_type
-        self.reset()
+    """Tracks the latest value and a sample-weighted running average."""
 
-    def reset(self):
-        self.val = 0.0
-        self.avg = 0.0
-        self.sum = 0.0
-        self.count = 0
+    name: str
+    spec: str = "f"
+    summary_mode: SummaryMode = "avg"
+    val: float = 0.0
+    sum: float = 0.0
+    count: int = 0
 
-    def update(self, val, n: int = 1):
+    def __post_init__(self):
+        # tolerate torch-style ":6.3f" specs from older call sites
+        self.spec = self.spec.lstrip(":")
+
+    @property
+    def avg(self) -> float:
+        return self.sum / self.count if self.count else 0.0
+
+    def reset(self) -> None:
+        self.val, self.sum, self.count = 0.0, 0.0, 0
+
+    def update(self, val: float, n: int = 1) -> None:
         self.val = float(val)
         self.sum += float(val) * n
         self.count += n
-        self.avg = self.sum / max(self.count, 1)
 
-    def __str__(self):
-        fmtstr = "{name} {val" + self.fmt + "} ({avg" + self.fmt + "})"
-        return fmtstr.format(**self.__dict__)
+    def __str__(self) -> str:
+        return (f"{self.name} {format(self.val, self.spec)}"
+                f" ({format(self.avg, self.spec)})")
 
-    def summary(self):
-        if self.summary_type is Summary.NONE:
+    def summary(self) -> str:
+        if self.summary_mode == "none":
             return ""
-        if self.summary_type is Summary.AVERAGE:
-            return f"{self.name} {self.avg:.2f}"
-        if self.summary_type is Summary.SUM:
-            return f"{self.name} {self.sum:.2f}"
-        return f"{self.name} {self.count:.2f}"
+        stat = {"avg": self.avg, "sum": self.sum,
+                "count": float(self.count)}[self.summary_mode]
+        return f"{self.name} {stat:.2f}"
 
 
+@dataclass
 class ProgressMeter:
-    def __init__(self, num_batches: int, meters, prefix: str = ""):
-        num_digits = len(str(num_batches))
-        self.batch_fmtstr = "[{:" + str(num_digits) + "d}/" + f"{num_batches}]"
-        self.meters = meters
-        self.prefix = prefix
+    """Joins a batch counter and a list of meters into one console line."""
 
-    def display(self, batch: int):
-        entries = [self.prefix + self.batch_fmtstr.format(batch)]
-        entries += [str(m) for m in self.meters]
-        print("\t".join(entries), flush=True)
+    total_batches: int
+    meters: Sequence[AverageMeter] = field(default_factory=list)
+    prefix: str = ""
 
-    def display_summary(self):
-        entries = [" *"] + [m.summary() for m in self.meters]
-        print(" ".join(e for e in entries if e), flush=True)
+    def _counter(self, batch: int) -> str:
+        width = len(str(self.total_batches))
+        return f"[{batch:{width}d}/{self.total_batches}]"
+
+    def display(self, batch: int) -> None:
+        cols: List[str] = [self.prefix + self._counter(batch)]
+        cols.extend(str(m) for m in self.meters)
+        print("\t".join(cols), flush=True)
+
+    def display_summary(self) -> None:
+        stats = [s for s in (m.summary() for m in self.meters) if s]
+        print(" ".join([" *", *stats]), flush=True)

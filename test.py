@@ -39,7 +39,7 @@ def main(args) -> float:
                       model_path=args.niqe_model_path)
 
     os.makedirs(args.sr_dir, exist_ok=True)
-    niqe_meter = AverageMeter("NIQE", ":4.2f")
+    niqe_meter = AverageMeter("NIQE", "4.2f")
 
     files = natsorted_files(args.lr_dir)
     if not files:

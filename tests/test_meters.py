@@ -1,11 +1,11 @@
-"""Console meter math + formatting (reference AverageMeter/ProgressMeter UX,
-/root/reference/train_realesrnet.py:497-561)."""
+"""Console meter math + formatting (keeps the reference trainers' console UX;
+this framework's own dataclass/format-spec design)."""
 
-from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter, Summary
+from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
 
 
 def test_average_meter_weighted_updates():
-    m = AverageMeter("Loss", ":6.4f")
+    m = AverageMeter("Loss", "6.4f")
     m.update(1.0, n=2)
     m.update(4.0, n=1)
     assert m.count == 3
@@ -16,16 +16,22 @@ def test_average_meter_weighted_updates():
     assert m.count == 0 and m.avg == 0.0
 
 
-def test_summary_types():
-    for st, expect in ((Summary.AVERAGE, "X 2.00"), (Summary.SUM, "X 6.00"),
-                       (Summary.COUNT, "X 3.00"), (Summary.NONE, "")):
-        m = AverageMeter("X", summary_type=st)
+def test_torch_style_spec_tolerated():
+    m = AverageMeter("Loss", ":6.3f")
+    m.update(0.125)
+    assert " 0.125" in str(m)
+
+
+def test_summary_modes():
+    for mode, expect in (("avg", "X 2.00"), ("sum", "X 6.00"),
+                         ("count", "X 3.00"), ("none", "")):
+        m = AverageMeter("X", summary_mode=mode)
         m.update(2.0, n=3)
-        assert m.summary() == expect, (st, m.summary())
+        assert m.summary() == expect, (mode, m.summary())
 
 
 def test_progress_meter_display(capsys):
-    m = AverageMeter("Loss", ":4.2f")
+    m = AverageMeter("Loss", "4.2f")
     m.update(0.5)
     p = ProgressMeter(120, [m], prefix="Epoch: [3]")
     p.display(7)
