@@ -21,18 +21,36 @@ import orbax.checkpoint as ocp
 from real_esrgan_tpu.models.convert import convert_generator, load_torch_checkpoint
 
 
+def _checkpointer() -> ocp.Checkpointer:
+    """Orbax checkpointer scoped to THIS process.
+
+    Trainer IO is lead-host-only (state reaches the pod via
+    parallel.broadcast_pytree), but Orbax's default save/restore runs
+    cross-process barriers that deadlock/mismatch when only one host calls
+    it — scope its multiprocessing to the calling process instead.
+    """
+    if jax.process_count() > 1:
+        me = jax.process_index()
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=me, active_processes={me},
+                barrier_sync_key_prefix=f"proc{me}"))
+    return ocp.PyTreeCheckpointer()
+
+
 def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
     """Save a pytree payload to an Orbax checkpoint directory."""
     path = os.path.abspath(path)
     if os.path.exists(path):
         shutil.rmtree(path)
-    with ocp.PyTreeCheckpointer() as ckptr:
+    with _checkpointer() as ckptr:
         ckptr.save(path, jax.device_get(payload))
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
     path = os.path.abspath(path)
-    with ocp.PyTreeCheckpointer() as ckptr:
+    with _checkpointer() as ckptr:
         return ckptr.restore(path)
 
 

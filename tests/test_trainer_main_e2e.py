@@ -59,6 +59,43 @@ def test_esrnet_main_end_to_end(tmp_path, monkeypatch):
     assert int(np.asarray(tree2["step"])) == 4
 
 
+def test_esrnet_checkpoint_cadence(tmp_path, monkeypatch):
+    """With checkpoint_frequency=2 over 3 epochs: epoch 1 is skipped, epochs
+    2 (cadence) and 3 (final) save, and g_last is refreshed on EVERY saving
+    epoch (reference train_realesrnet.py:124-129) — an interrupted run always
+    leaves a loadable results/<exp>/g_last."""
+    import train_realesrnet as trainer
+    from real_esrgan_tpu.train import checkpoint as ckpt_lib
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(run_config, "geometry", TINY_GEO)
+    monkeypatch.setattr(run_config, "model", TINY_MODEL)
+    monkeypatch.setattr(run_config, "degradation", TINY_DEG)
+    monkeypatch.setattr(run_config, "train_esrnet",
+                        TrainConfig(batch_size=8, print_frequency=1, epochs=3,
+                                    num_workers=2, checkpoint_frequency=2))
+
+    last_copies = []
+    real_copy = ckpt_lib.copy_checkpoint
+
+    def spy(src, dst):
+        if dst.endswith("g_last"):
+            last_copies.append(os.path.basename(src))
+        real_copy(src, dst)
+
+    monkeypatch.setattr(ckpt_lib, "copy_checkpoint", spy)
+    trainer.main(_args(epochs=3))
+
+    samples = os.path.join("samples", run_config.exp_name)
+    assert not os.path.exists(os.path.join(samples, "g_epoch_1"))
+    assert os.path.exists(os.path.join(samples, "g_epoch_2"))
+    assert last_copies == ["g_epoch_2", "g_epoch_3"]
+    from real_esrgan_tpu.train.checkpoint import load_checkpoint
+
+    tree = load_checkpoint(os.path.join("results", run_config.exp_name, "g_last"))
+    assert int(tree["epoch"]) == 3
+
+
 def test_esrgan_main_end_to_end(tmp_path, monkeypatch):
     import train_realesrgan as trainer
 

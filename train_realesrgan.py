@@ -26,8 +26,8 @@ from real_esrgan_tpu.data import (
 from real_esrgan_tpu.metrics.niqe import NIQE
 from real_esrgan_tpu.models.convert import convert_vgg19
 from real_esrgan_tpu.parallel import (
-    batch_sharding, make_mesh, maybe_initialize_distributed,
-    replicated_sharding,
+    batch_sharding, broadcast_pytree, broadcast_string, make_mesh,
+    maybe_initialize_distributed, replicated_sharding,
 )
 from real_esrgan_tpu.train import checkpoint as ckpt_lib
 from real_esrgan_tpu.train.esrgan import (
@@ -39,9 +39,13 @@ from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
 from train_realesrnet import SyntheticHRDataset, validate
 
 
-def load_vgg_params(vgg, cfg) -> dict:
-    """Pretrained torchvision VGG19 if a local file exists, else random
-    (no downloads in this environment; the loss stays functional either way)."""
+def load_vgg_params(vgg, cfg, allow_random: bool = False) -> dict:
+    """Pretrained torchvision VGG19 if a local file exists, else random.
+
+    Random-VGG content loss is an explicit opt-in: long-horizon GAN training
+    against random features drifts (docs/PARITY.md), so a quality run must
+    never fall into it by scrolling past a warning line.  ``--synthetic``
+    smoke runs imply the opt-in."""
     if cfg.vgg_weights_path and os.path.exists(cfg.vgg_weights_path):
         import torch
 
@@ -49,7 +53,15 @@ def load_vgg_params(vgg, cfg) -> dict:
         params = convert_vgg19(sd)
         print(f"Loaded VGG19 weights from `{cfg.vgg_weights_path}`.")
         return params
-    print("WARNING: no VGG19 weights file — content loss uses random features.")
+    if not allow_random:
+        raise SystemExit(
+            f"No VGG19 weights at `{cfg.vgg_weights_path}`. The perceptual "
+            "content loss needs pretrained features for a quality run "
+            "(random features drift over long horizons — docs/PARITY.md). "
+            "Provide vgg_weights_path, or pass --allow-random-vgg to "
+            "explicitly train with random VGG features.")
+    print("WARNING: no VGG19 weights file — content loss uses random features "
+          "(--allow-random-vgg).")
     return vgg.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)))["params"]
 
 
@@ -75,8 +87,10 @@ def main(args) -> None:
     local_batch = batch // jax.process_count()
 
     if args.synthetic:
+        # local_batch-sized length keeps steps/epoch == --steps-per-epoch
+        # for ANY process count (each host iterates its own local shard)
         train_ds = SyntheticHRDataset(geo.hr_size,
-                                      length=args.steps_per_epoch * batch)
+                                      length=args.steps_per_epoch * local_batch)
         valid_ds, test_ds = [], []
     else:
         train_ds = TrainImageDataset(cfg.train_image_dir, geo.hr_size)
@@ -96,56 +110,70 @@ def main(args) -> None:
     g_tx, d_tx = build_optimizers(cfg, steps_per_epoch)
     state = init_gan_state(jax.random.PRNGKey(cfg.seed), generator,
                            discriminator, g_tx, d_tx, geo)
-    vgg_params = load_vgg_params(vgg, cfg)
+    vgg_params = load_vgg_params(
+        vgg, cfg,
+        allow_random=getattr(args, "allow_random_vgg", False) or args.synthetic)
 
     samples_dir = os.path.join("samples", cfg.exp_name)
     start_epoch, best_niqe = 0, 100.0
+    lead = jax.process_index() == 0
 
-    # 3-way resume (reference train_realesrgan.py:60-109)
+    # 3-way resume (reference train_realesrgan.py:60-109).  Checkpoints are
+    # written by process 0 only, so auto paths are resolved there and
+    # broadcast; the loads then run on the lead host and the resulting state
+    # is broadcast so the pod stays bit-identical even without a shared
+    # filesystem.
     resume = args.resume or cfg.resume
-    resume_g_auto = ""
-    if (args.resume_g or cfg.resume_g) == "auto":
-        # elastic restart: newest g/d epoch checkpoints from this experiment
-        resume_g_auto = ckpt_lib.find_latest_checkpoint(samples_dir, "g_epoch_")
-        if not resume_g_auto:
-            print("--resume-g auto: no checkpoint found, starting fresh.")
-    if resume and os.path.exists(os.path.abspath(resume)):
-        g_loaded = ckpt_lib.load_generator_params(resume, prefer_ema=False)
-        state = state.replace(
-            g_params=ckpt_lib.merge_matching(jax.device_get(state.g_params), g_loaded),
-            g_ema=ckpt_lib.merge_matching(jax.device_get(state.g_ema), g_loaded))
-        print(f"Warm-started generator from `{resume}`.")
     resume_g = args.resume_g or cfg.resume_g
-    if resume_g == "auto":
-        resume_g = resume_g_auto
-    if resume_g and os.path.exists(os.path.abspath(resume_g)):
-        tree = ckpt_lib.load_checkpoint(resume_g)
-        state = state.replace(
-            g_params=ckpt_lib.restore_like(jax.device_get(state.g_params),
-                                           tree["params"], "g_params"),
-            g_ema=ckpt_lib.restore_like(jax.device_get(state.g_ema),
-                                        tree["ema_params"], "g_ema"),
-            g_opt=ckpt_lib.restore_like(jax.device_get(state.g_opt),
-                                        tree["opt_state"], "g_opt",
-                                        on_mismatch="template"),
-            step=jnp.asarray(tree["step"], jnp.int32))
-        start_epoch = int(tree.get("epoch", 0))
-        best_niqe = float(tree.get("best_niqe", 100.0))
-        print(f"Resumed generator GAN state from `{resume_g}`.")
     resume_d = args.resume_d or cfg.resume_d
+    if resume_g == "auto":
+        # elastic restart: newest g/d epoch checkpoints from this experiment
+        resume_g = broadcast_string(
+            ckpt_lib.find_latest_checkpoint(samples_dir, "g_epoch_")
+            if lead else "")
+        if not resume_g and lead:
+            print("--resume-g auto: no checkpoint found, starting fresh.")
     if resume_d == "auto":
-        resume_d = ckpt_lib.find_latest_checkpoint(samples_dir, "d_epoch_")
-    if resume_d and os.path.exists(os.path.abspath(resume_d)):
-        tree = ckpt_lib.load_checkpoint(resume_d)
-        state = state.replace(
-            d_params=ckpt_lib.restore_like(jax.device_get(state.d_params),
-                                           tree["params"], "d_params"),
-            d_stats=ckpt_lib.restore_like(jax.device_get(state.d_stats),
-                                          tree["batch_stats"], "d_stats"),
-            d_opt=ckpt_lib.restore_like(jax.device_get(state.d_opt),
-                                        tree["opt_state"], "d_opt",
-                                        on_mismatch="template"))
-        print(f"Resumed discriminator from `{resume_d}`.")
+        resume_d = broadcast_string(
+            ckpt_lib.find_latest_checkpoint(samples_dir, "d_epoch_")
+            if lead else "")
+    if lead:
+        if resume and os.path.exists(os.path.abspath(resume)):
+            g_loaded = ckpt_lib.load_generator_params(resume, prefer_ema=False)
+            state = state.replace(
+                g_params=ckpt_lib.merge_matching(jax.device_get(state.g_params), g_loaded),
+                g_ema=ckpt_lib.merge_matching(jax.device_get(state.g_ema), g_loaded))
+            print(f"Warm-started generator from `{resume}`.")
+        if resume_g and os.path.exists(os.path.abspath(resume_g)):
+            tree = ckpt_lib.load_checkpoint(resume_g)
+            state = state.replace(
+                g_params=ckpt_lib.restore_like(jax.device_get(state.g_params),
+                                               tree["params"], "g_params"),
+                g_ema=ckpt_lib.restore_like(jax.device_get(state.g_ema),
+                                            tree["ema_params"], "g_ema"),
+                g_opt=ckpt_lib.restore_like(jax.device_get(state.g_opt),
+                                            tree["opt_state"], "g_opt",
+                                            on_mismatch="template"),
+                step=jnp.asarray(tree["step"], jnp.int32))
+            start_epoch = int(tree.get("epoch", 0))
+            best_niqe = float(tree.get("best_niqe", 100.0))
+            print(f"Resumed generator GAN state from `{resume_g}`.")
+        if resume_d and os.path.exists(os.path.abspath(resume_d)):
+            tree = ckpt_lib.load_checkpoint(resume_d)
+            state = state.replace(
+                d_params=ckpt_lib.restore_like(jax.device_get(state.d_params),
+                                               tree["params"], "d_params"),
+                d_stats=ckpt_lib.restore_like(jax.device_get(state.d_stats),
+                                              tree["batch_stats"], "d_stats"),
+                d_opt=ckpt_lib.restore_like(jax.device_get(state.d_opt),
+                                            tree["opt_state"], "d_opt",
+                                            on_mismatch="template"))
+            print(f"Resumed discriminator from `{resume_d}`.")
+    if jax.process_count() > 1:
+        meta = np.asarray([float(start_epoch), best_niqe])
+        host_state, meta = broadcast_pytree((jax.device_get(state), meta))
+        state = host_state
+        start_epoch, best_niqe = int(meta[0]), float(meta[1])
 
     state = jax.device_put(state, replicated_sharding(mesh))
     train_step = make_gan_train_step(generator, discriminator, vgg, vgg_params,
@@ -168,9 +196,9 @@ def main(args) -> None:
     key = jax.random.PRNGKey(cfg.seed + 1)
 
     for epoch in range(start_epoch, epochs):
-        meters = {name: AverageMeter(name, ":6.6f") for name in
+        meters = {name: AverageMeter(name, "6.6f") for name in
                   ("Pixel", "Content", "Adversarial", "D(HR)", "D(SR)")}
-        batch_time = AverageMeter("Time", ":6.3f")
+        batch_time = AverageMeter("Time", "6.3f")
         progress = ProgressMeter(steps_per_epoch,
                                  [batch_time, *meters.values()],
                                  prefix=f"Epoch: [{epoch + 1}]")
@@ -229,7 +257,10 @@ def main(args) -> None:
 
         is_best = niqe < best_niqe
         best_niqe = min(niqe, best_niqe)
-        if (epoch + 1) % cfg.checkpoint_frequency and (epoch + 1) != epochs:
+        # Save on cadence, on the final epoch, AND whenever a new best lands
+        # off-cadence (a best-NIQE epoch must never be silently lost).
+        on_cadence = (epoch + 1) % cfg.checkpoint_frequency == 0
+        if not (on_cadence or is_best or (epoch + 1) == epochs):
             continue
 
         g_payload = {"epoch": epoch + 1, "best_niqe": best_niqe,
@@ -248,9 +279,11 @@ def main(args) -> None:
         if is_best:
             ckpt_lib.copy_checkpoint(g_path, os.path.join(results_dir, "g_best"))
             ckpt_lib.copy_checkpoint(d_path, os.path.join(results_dir, "d_best"))
-        if (epoch + 1) == epochs:
-            ckpt_lib.copy_checkpoint(g_path, os.path.join(results_dir, "g_last"))
-            ckpt_lib.copy_checkpoint(d_path, os.path.join(results_dir, "d_last"))
+        # last copies track every saving epoch (reference
+        # train_realesrgan.py:168-177) so an interrupted run always leaves
+        # loadable results/<exp>/{g_last,d_last}.
+        ckpt_lib.copy_checkpoint(g_path, os.path.join(results_dir, "g_last"))
+        ckpt_lib.copy_checkpoint(d_path, os.path.join(results_dir, "d_last"))
 
 
 if __name__ == "__main__":
@@ -263,4 +296,7 @@ if __name__ == "__main__":
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--steps-per-epoch", type=int, default=8)
     parser.add_argument("--no-tensorboard", action="store_true")
+    parser.add_argument("--allow-random-vgg", action="store_true",
+                        help="explicitly allow GAN training with random VGG "
+                             "features when no pretrained weights exist")
     main(parser.parse_args())

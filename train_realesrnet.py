@@ -28,8 +28,8 @@ from real_esrgan_tpu.data import (
 )
 from real_esrgan_tpu.metrics.niqe import NIQE
 from real_esrgan_tpu.parallel import (
-    batch_sharding, make_mesh, maybe_initialize_distributed,
-    replicated_sharding,
+    batch_sharding, broadcast_pytree, broadcast_string, make_mesh,
+    maybe_initialize_distributed, replicated_sharding,
 )
 from real_esrgan_tpu.train import checkpoint as ckpt_lib
 from real_esrgan_tpu.train.esrnet import (
@@ -84,7 +84,7 @@ def validate(eval_fn, params, dataset, niqe_model, name: str, epoch: int,
     jitted forward and the SR cropped back, so shape variety (Set5/Set14)
     costs one XLA compile per bucket instead of one per image — same
     discipline as serve.SRPipeline (reference test.py jits per shape)."""
-    niqe_meter = AverageMeter("NIQE", ":4.2f")
+    niqe_meter = AverageMeter("NIQE", "4.2f")
     for i in range(len(dataset)):
         lr = dataset[i]["lr"]
         h, w, _ = lr.shape
@@ -126,8 +126,10 @@ def main(args) -> None:
 
     # ---- data ----
     if args.synthetic:
+        # local_batch-sized length keeps steps/epoch == --steps-per-epoch
+        # for ANY process count (each host iterates its own local shard)
         train_ds = SyntheticHRDataset(geo.hr_size,
-                                      length=args.steps_per_epoch * batch)
+                                      length=args.steps_per_epoch * local_batch)
         valid_ds, test_ds = [], []
         loader = ThreadedLoader(train_ds, local_batch, cfg.num_workers,
                                 seed=cfg.seed)
@@ -149,27 +151,38 @@ def main(args) -> None:
 
     samples_dir = os.path.join("samples", run_config.exp_name)
     start_epoch, best_niqe = 0, 100.0
+    lead = jax.process_index() == 0
     resume = args.resume or cfg.resume
     if resume == "auto":  # elastic restart: newest epoch checkpoint, if any
-        resume = ckpt_lib.find_latest_checkpoint(samples_dir)
-        if not resume:
+        # Checkpoints are written by process 0 only — resolve there and
+        # broadcast so every host agrees (a per-process resolution diverges
+        # on pods without a shared filesystem).
+        resume = ckpt_lib.find_latest_checkpoint(samples_dir) if lead else ""
+        resume = broadcast_string(resume)
+        if not resume and lead:
             print("--resume auto: no checkpoint found, starting fresh.")
     if resume:
-        path = resume
-        tree = ckpt_lib.load_checkpoint(path)
-        state = TrainState(
-            step=jnp.asarray(tree["step"], jnp.int32),
-            params=ckpt_lib.merge_matching(jax.device_get(state.params), tree["params"]),
-            ema_params=ckpt_lib.merge_matching(jax.device_get(state.ema_params),
-                                               tree["ema_params"]),
-            opt_state=ckpt_lib.restore_like(jax.device_get(state.opt_state),
-                                            tree["opt_state"], "opt_state",
-                                            on_mismatch="template"),
-        )
-        state = jax.device_put(state, replicated_sharding(mesh))
-        start_epoch = int(tree.get("epoch", 0))
-        best_niqe = float(tree.get("best_niqe", 100.0))
-        print(f"Resumed from `{path}` at epoch {start_epoch}.")
+        # Lead host loads from local disk; the state is broadcast so the pod
+        # gets bit-identical params even without a shared filesystem.
+        host_state = jax.device_get(state)
+        meta = np.zeros(2)
+        if lead:
+            tree = ckpt_lib.load_checkpoint(resume)
+            host_state = TrainState(
+                step=np.asarray(tree["step"], np.int32),
+                params=ckpt_lib.merge_matching(host_state.params, tree["params"]),
+                ema_params=ckpt_lib.merge_matching(host_state.ema_params,
+                                                   tree["ema_params"]),
+                opt_state=ckpt_lib.restore_like(host_state.opt_state,
+                                                tree["opt_state"], "opt_state",
+                                                on_mismatch="template"),
+            )
+            meta = np.asarray([float(tree.get("epoch", 0)),
+                               float(tree.get("best_niqe", 100.0))])
+        host_state, meta = broadcast_pytree((host_state, meta))
+        state = jax.device_put(host_state, replicated_sharding(mesh))
+        start_epoch, best_niqe = int(meta[0]), float(meta[1])
+        print(f"Resumed from `{resume}` at epoch {start_epoch}.")
 
     train_step = make_train_step(model, tx, geo, kcfg, dcfg, cfg.ema_decay)
     eval_fn = make_eval_fn(model)
@@ -189,9 +202,9 @@ def main(args) -> None:
     key = jax.random.PRNGKey(cfg.seed + 1)
 
     for epoch in range(start_epoch, epochs):
-        batch_time = AverageMeter("Time", ":6.3f")
-        data_time = AverageMeter("Data", ":6.3f")
-        losses = AverageMeter("Loss", ":6.6f")
+        batch_time = AverageMeter("Time", "6.3f")
+        data_time = AverageMeter("Data", "6.3f")
+        losses = AverageMeter("Loss", "6.6f")
         progress = ProgressMeter(steps_per_epoch, [batch_time, data_time, losses],
                                  prefix=f"Epoch: [{epoch + 1}]")
         end = time.time()
@@ -240,7 +253,10 @@ def main(args) -> None:
 
         is_best = niqe < best_niqe
         best_niqe = min(niqe, best_niqe)
-        if (epoch + 1) % cfg.checkpoint_frequency and (epoch + 1) != epochs:
+        # Save on cadence, on the final epoch, AND whenever a new best lands
+        # off-cadence (a best-NIQE epoch must never be silently lost).
+        on_cadence = (epoch + 1) % cfg.checkpoint_frequency == 0
+        if not (on_cadence or is_best or (epoch + 1) == epochs):
             continue
         payload = {
             "epoch": epoch + 1,
@@ -254,8 +270,10 @@ def main(args) -> None:
         ckpt_lib.save_checkpoint(epoch_path, payload)
         if is_best:
             ckpt_lib.copy_checkpoint(epoch_path, os.path.join(results_dir, "g_best"))
-        if (epoch + 1) == epochs:
-            ckpt_lib.copy_checkpoint(epoch_path, os.path.join(results_dir, "g_last"))
+        # g_last tracks every saving epoch (reference train_realesrnet.py:124-129)
+        # so an interrupted run always leaves a loadable results/<exp>/g_last —
+        # the GAN stage's default warm-start path (config.py).
+        ckpt_lib.copy_checkpoint(epoch_path, os.path.join(results_dir, "g_last"))
 
 
 if __name__ == "__main__":
