@@ -10,9 +10,11 @@ per iteration —
 pixel-wise maps (the discriminator is a U-Net emitting per-pixel logits,
 :460-462).
 
-Spectral-norm power-iteration state (flax ``batch_stats``) is updated during
-the D step (the reference's torch spectral_norm updates u on every train-mode
-forward; one net update per iteration is the standard JAX equivalent).
+Spectral-norm power-iteration state (flax ``batch_stats``) advances on every
+discriminator forward — G-step D(sr), D-step D(hr), D-step D(sr.detach()) —
+exactly matching torch's spectral_norm, which power-iterates on every
+train-mode forward (reference train_realesrgan.py:479,499,505; pinned by
+tests/test_spectral_norm_parity.py).
 """
 
 from __future__ import annotations
@@ -102,13 +104,21 @@ def make_gan_train_step(generator, discriminator, vgg, vgg_params,
         sr_sharp = usm_sharpen(sr, usm_kernel, dcfg.usm_weight, dcfg.usm_threshold)
         pixel = cfg.pixel_weight * jnp.mean(jnp.abs(sr_sharp - hr_b))
         content = content_loss(sr_sharp, hr_b)
-        logits = discriminator.apply(
-            {"params": d_params, "batch_stats": d_stats}, sr, update_stats=False)
+        # update_stats=True: torch's spectral_norm power-iterates on EVERY
+        # train-mode forward, including this G-step D(sr) (reference
+        # train_realesrgan.py:479) — so u advances 3x per iteration (here,
+        # then D(hr), then D(sr.detach())).  Matching the cadence exactly
+        # keeps converted-weights sigma trajectories in lockstep with torch
+        # (tests/test_spectral_norm_parity.py).
+        logits, d_vs = discriminator.apply(
+            {"params": d_params, "batch_stats": d_stats}, sr,
+            update_stats=True, mutable=["batch_stats"])
         adversarial = cfg.adversarial_weight * jnp.mean(
             bce(logits, jnp.ones_like(logits)))
         total = pixel + content + adversarial
         return total, {"sr": sr, "pixel": pixel, "content": content,
-                       "adversarial": adversarial, "g_loss": total}
+                       "adversarial": adversarial, "g_loss": total,
+                       "d_stats": d_vs["batch_stats"]}
 
     def d_loss_fn(d_params, d_stats, sr_detached, hr_b):
         hr_logits, vs = discriminator.apply(
@@ -140,9 +150,11 @@ def make_gan_train_step(generator, discriminator, vgg, vgg_params,
         g_ema = ema_update(state.g_ema, g_params, cfg.ema_decay)
 
         # ---- discriminator step on sr.detach() ----
+        # chain the G-step's power-iteration advance into the D step
+        d_stats_after_g = jax.lax.stop_gradient(g_aux.pop("d_stats"))
         sr_detached = jax.lax.stop_gradient(g_aux.pop("sr"))
         (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            state.d_params, state.d_stats, sr_detached, hr_b)
+            state.d_params, d_stats_after_g, sr_detached, hr_b)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
         d_stats = d_aux.pop("d_stats")
