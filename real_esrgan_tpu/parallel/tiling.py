@@ -21,7 +21,8 @@ sequence length — SURVEY.md §5):
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, Tuple
+from collections import OrderedDict
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,9 +30,12 @@ import numpy as np
 
 from real_esrgan_tpu.parallel.mesh import batch_sharding, make_mesh
 
-# jitted tiled programs keyed by (apply_fn identity, geometry); bounded in
-# practice by the handful of distinct image-shape buckets a server sees
-_FN_CACHE: Dict[Tuple, Callable] = {}
+# Jitted tiled programs keyed by (apply_fn, mesh, geometry) — the OBJECTS,
+# not their id()s (an id can be reused after gc, silently hitting a stale
+# entry).  LRU-bounded: callers that pass a fresh lambda per call get correct
+# behavior and at most _FN_CACHE_MAX live compiled programs.
+_FN_CACHE: "OrderedDict[Tuple, Callable]" = OrderedDict()
+_FN_CACHE_MAX = 16
 
 
 def _build_tiled_fn(apply_fn: Callable, ny: int, nx: int, tile: int,
@@ -103,13 +107,16 @@ def tiled_upscale(apply_fn: Callable, params, image: np.ndarray,
     padded = np.pad(image, ((overlap, pad_h - overlap),
                             (overlap, pad_w - overlap), (0, 0)), mode="reflect")
 
-    key = (id(apply_fn), ny, nx, tile, overlap, tile_batch, scale, n_batches,
-           id(mesh))
+    key = (apply_fn, ny, nx, tile, overlap, tile_batch, scale, n_batches, mesh)
     fn = _FN_CACHE.get(key)
     if fn is None:
         fn = _build_tiled_fn(apply_fn, ny, nx, tile, overlap, tile_batch,
                              scale, n_batches, batch_sharding(mesh))
         _FN_CACHE[key] = fn
+        while len(_FN_CACHE) > _FN_CACHE_MAX:
+            _FN_CACHE.popitem(last=False)
+    else:
+        _FN_CACHE.move_to_end(key)
 
     out = np.asarray(fn(params, jnp.asarray(padded)))
     return out[:h * scale, :w * scale]
