@@ -77,6 +77,9 @@ def main(args) -> None:
     if args.epochs:
         # keep the LR schedule proportional to the overridden run length
         cfg = dataclasses.replace(cfg, epochs=args.epochs)
+    if getattr(args, "checkpoint_frequency", 0):
+        cfg = dataclasses.replace(
+            cfg, checkpoint_frequency=args.checkpoint_frequency)
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
@@ -296,6 +299,9 @@ if __name__ == "__main__":
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--steps-per-epoch", type=int, default=8)
     parser.add_argument("--no-tensorboard", action="store_true")
+    parser.add_argument("--checkpoint-frequency", type=int, default=0,
+                        help="save every N epochs (0 = config default); "
+                             "best/final epochs always save")
     parser.add_argument("--allow-random-vgg", action="store_true",
                         help="explicitly allow GAN training with random VGG "
                              "features when no pretrained weights exist")

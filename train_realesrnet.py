@@ -114,6 +114,9 @@ def main(args) -> None:
     if args.epochs:
         # keep the LR schedule proportional to the overridden run length
         cfg = dataclasses.replace(cfg, epochs=args.epochs)
+    if getattr(args, "checkpoint_frequency", 0):
+        cfg = dataclasses.replace(
+            cfg, checkpoint_frequency=args.checkpoint_frequency)
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
@@ -286,4 +289,7 @@ if __name__ == "__main__":
     parser.add_argument("--steps-per-epoch", type=int, default=8,
                         help="steps per epoch in --synthetic mode")
     parser.add_argument("--no-tensorboard", action="store_true")
+    parser.add_argument("--checkpoint-frequency", type=int, default=0,
+                        help="save every N epochs (0 = config default); "
+                             "best/final epochs always save")
     main(parser.parse_args())
