@@ -160,6 +160,10 @@ class TrainConfig:
 
     batch_size: int = 48
     num_workers: int = 4
+    # "auto" = native C++ pool, falling back to Python threads;
+    # "grain" = deterministic resumable grain pipeline (data/grain_loader.py);
+    # "threads" = force the Python ThreadedLoader
+    loader: str = "auto"
     epochs: int = 1298
     lr: float = 2e-4
     betas: Tuple[float, float] = (0.9, 0.99)

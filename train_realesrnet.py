@@ -40,22 +40,36 @@ from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
 
 
 def make_train_loader(train_ds, batch: int, cfg, geo):
-    """Prefer the C++ decode+crop loader (GIL-free); fall back to Python
-    threads when the native library can't be built.  ``batch`` is the
-    PER-HOST batch; on multi-host each process loads a disjoint file shard."""
-    shard = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
-    try:
-        from real_esrgan_tpu.data.native_loader import (
-            NativeThreadedLoader, available,
-        )
+    """Build the training batch loader per ``cfg.loader``.
 
-        if available():
-            print("Using native C++ data loader.")
-            return NativeThreadedLoader(train_ds.files, batch, geo.hr_size,
-                                        num_threads=cfg.num_workers,
-                                        seed=cfg.seed, **shard)
-    except Exception as exc:
-        print(f"Native loader unavailable ({exc}); using Python threads.")
+    "auto" prefers the C++ decode+crop pool (GIL-free), falling back to
+    Python threads; "grain" opts into the deterministic resumable grain
+    pipeline; "threads" forces the Python loader.  ``batch`` is the PER-HOST
+    batch; on multi-host each process loads a disjoint shard."""
+    shard = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
+    mode = getattr(cfg, "loader", "auto")
+    if mode == "grain":
+        from real_esrgan_tpu.data import grain_loader
+
+        if grain_loader.available():
+            print("Using grain data loader.")
+            return grain_loader.GrainLoader(
+                train_ds.files, batch, geo.hr_size,
+                num_workers=cfg.num_workers, seed=cfg.seed, **shard)
+        print("grain unavailable; falling back to auto loader chain.")
+    if mode != "threads":
+        try:
+            from real_esrgan_tpu.data.native_loader import (
+                NativeThreadedLoader, available,
+            )
+
+            if available():
+                print("Using native C++ data loader.")
+                return NativeThreadedLoader(train_ds.files, batch, geo.hr_size,
+                                            num_threads=cfg.num_workers,
+                                            seed=cfg.seed, **shard)
+        except Exception as exc:
+            print(f"Native loader unavailable ({exc}); using Python threads.")
     return ThreadedLoader(train_ds, batch, cfg.num_workers, seed=cfg.seed,
                           **shard)
 
