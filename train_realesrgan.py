@@ -258,13 +258,13 @@ def main(args) -> None:
                 if test_ds else 100.0)
         print("")
 
+        # best_niqe folds in ONLY on saving epochs (see train_realesrnet.py:
+        # g_best always points at an existing checkpoint; frequency > 1 opts
+        # into coarser best tracking by design).
+        if (epoch + 1) % cfg.checkpoint_frequency and (epoch + 1) != epochs:
+            continue
         is_best = niqe < best_niqe
         best_niqe = min(niqe, best_niqe)
-        # Save on cadence, on the final epoch, AND whenever a new best lands
-        # off-cadence (a best-NIQE epoch must never be silently lost).
-        on_cadence = (epoch + 1) % cfg.checkpoint_frequency == 0
-        if not (on_cadence or is_best or (epoch + 1) == epochs):
-            continue
 
         g_payload = {"epoch": epoch + 1, "best_niqe": best_niqe,
                      "step": jax.device_get(state.step),

@@ -268,13 +268,15 @@ def main(args) -> None:
                 if test_ds else 100.0)
         print("")
 
+        # best_niqe folds in ONLY on saving epochs, so g_best always points at
+        # a checkpoint that exists and can never go stale (with
+        # checkpoint_frequency > 1 the user opts into coarser tracking — an
+        # off-cadence best epoch is intentionally not written; frequency=1,
+        # the reference default, evaluates every epoch).
+        if (epoch + 1) % cfg.checkpoint_frequency and (epoch + 1) != epochs:
+            continue
         is_best = niqe < best_niqe
         best_niqe = min(niqe, best_niqe)
-        # Save on cadence, on the final epoch, AND whenever a new best lands
-        # off-cadence (a best-NIQE epoch must never be silently lost).
-        on_cadence = (epoch + 1) % cfg.checkpoint_frequency == 0
-        if not (on_cadence or is_best or (epoch + 1) == epochs):
-            continue
         payload = {
             "epoch": epoch + 1,
             "best_niqe": best_niqe,
