@@ -80,6 +80,8 @@ def main(args) -> None:
     if getattr(args, "checkpoint_frequency", 0):
         cfg = dataclasses.replace(
             cfg, checkpoint_frequency=args.checkpoint_frequency)
+    if getattr(args, "loader", ""):
+        cfg = dataclasses.replace(cfg, loader=args.loader)
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
@@ -302,6 +304,9 @@ if __name__ == "__main__":
     parser.add_argument("--checkpoint-frequency", type=int, default=0,
                         help="save every N epochs (0 = config default); "
                              "best/final epochs always save")
+    parser.add_argument("--loader", type=str, default="",
+                        choices=("", "auto", "grain", "threads"),
+                        help="training data loader (default: config)")
     parser.add_argument("--allow-random-vgg", action="store_true",
                         help="explicitly allow GAN training with random VGG "
                              "features when no pretrained weights exist")
