@@ -1,0 +1,72 @@
+"""Score a checkpoint on aligned LR/HR pairs: PSNR + NIQE per image.
+
+The in-env quality loop's measurement tool (docs/PARITY.md): PSNR against
+the aligned ground truth tracks convergence (NIQE is misleading for
+partially-trained models), NIQE tracks perceptual quality once outputs look
+natural.  Works with Orbax checkpoint dirs or reference ``.pth.tar`` files.
+
+    python scripts/eval_pair.py --weights results/RealESRNet_baseline/g_last \
+        --lr-dir data/Set5/LRbicx4 --hr-dir data/Set5/GTmod12 [--use-params]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--weights", required=True)
+    p.add_argument("--lr-dir", required=True)
+    p.add_argument("--hr-dir", required=True)
+    p.add_argument("--upscale-factor", type=int, default=4)
+    p.add_argument("--num-rrdb", type=int, default=23)
+    p.add_argument("--use-params", action="store_true",
+                   help="score raw params instead of EMA (EMA ~= init until "
+                        "~3k steps; short runs must use this)")
+    p.add_argument("--cpu", action="store_true")
+    a = p.parse_args(argv)
+
+    if a.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from real_esrgan_tpu.metrics.niqe import NIQE
+    from real_esrgan_tpu.serve import SRPipeline
+    from real_esrgan_tpu.train.checkpoint import load_generator_params
+    from real_esrgan_tpu.utils.imgio import load_image_rgb, natsorted_files
+
+    pipeline = SRPipeline(upscale_factor=a.upscale_factor, num_rrdb=a.num_rrdb)
+    pipeline.params = load_generator_params(a.weights,
+                                            prefer_ema=not a.use_params)
+    niqe_model = NIQE(crop_border=a.upscale_factor)
+
+    psnrs, niqes = [], []
+    for path in natsorted_files(a.lr_dir):
+        hr_path = os.path.join(a.hr_dir, os.path.basename(path))
+        sr = pipeline.upscale(load_image_rgb(path))
+        hr = load_image_rgb(hr_path)
+        if sr.shape != hr.shape:
+            raise ValueError(f"{path}: SR {sr.shape} vs HR {hr.shape}")
+        mse = float(np.mean((sr.astype(np.float64) - hr) ** 2))
+        psnr = 10 * np.log10(1.0 / mse) if mse > 0 else 99.0
+        score = min(float(niqe_model(sr[None])[0]), 100.0)
+        psnrs.append(psnr)
+        niqes.append(score)
+        print(f"{os.path.basename(path)}: PSNR {psnr:5.2f} dB  NIQE {score:5.2f}")
+    print(json.dumps({"psnr_mean": round(float(np.mean(psnrs)), 3),
+                      "niqe_mean": round(float(np.mean(niqes)), 3),
+                      "n": len(psnrs),
+                      "which": "params" if a.use_params else "ema"}))
+
+
+if __name__ == "__main__":
+    main()
