@@ -29,7 +29,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_training_with_elastic_resume(tmp_path):
+def _launch(tmp_path) -> list:
     port = _free_port()
     procs = []
     for rank in range(2):
@@ -48,16 +48,26 @@ def test_two_process_training_with_elastic_resume(tmp_path):
              str(rank), str(tmp_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True))
+    return procs
 
-    outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=1800)
-            outs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+
+def test_two_process_training_with_elastic_resume(tmp_path):
+    for attempt in range(2):
+        procs = _launch(tmp_path / f"attempt{attempt}")
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=1800)
+                outs.append(out)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        if (any(p.returncode for p in procs)
+                and attempt == 0
+                and any("DEADLINE_EXCEEDED" in o for o in outs)):
+            continue  # Gloo's ~30s rendezvous lost to machine load; retry once
+        break
 
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
