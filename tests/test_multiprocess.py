@@ -63,10 +63,12 @@ def test_two_process_training_with_elastic_resume(tmp_path):
             for p in procs:
                 if p.poll() is None:
                     p.kill()
-        if (any(p.returncode for p in procs)
-                and attempt == 0
-                and any("DEADLINE_EXCEEDED" in o for o in outs)):
-            continue  # Gloo's ~30s rendezvous lost to machine load; retry once
+        if any(p.returncode for p in procs) and attempt == 0:
+            # Gloo's ~30s rendezvous loses to machine load (DEADLINE_EXCEEDED
+            # or downstream barrier errors, wording varies by XLA version).
+            # One retry cannot mask a real bug — deterministic failures fail
+            # both attempts.
+            continue
         break
 
     for rank, (p, out) in enumerate(zip(procs, outs)):
