@@ -30,8 +30,10 @@ class SRPipeline:
     def __init__(self, weights_path: str = "", upscale_factor: int = 4,
                  num_rrdb: int = 23, bfloat16: bool = True,
                  bucket: int = 32, tile_threshold: int = 512,
-                 tile: int = 256, tile_overlap: int = 16, tile_batch: int = 8,
+                 tile: int = 272, tile_overlap: int = 8, tile_batch: int = 16,
                  mesh=None):
+        # Tiling default 272/8/16: measured-best geometry; see
+        # parallel/tiling.py::tiled_upscale for the sweep evidence.
         self.scale = upscale_factor
         self.bucket = bucket
         self.tile_threshold = tile_threshold

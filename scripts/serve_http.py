@@ -37,6 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def build_app(weights: str = "", upscale_factor: int = 4, num_rrdb: int = 23,
               bfloat16: bool = True, warmup_size: int = 0):
     """Returns a BaseHTTPRequestHandler class bound to one loaded pipeline."""
+    from collections import deque
+
     import numpy as np
     from PIL import Image
 
@@ -45,7 +47,7 @@ def build_app(weights: str = "", upscale_factor: int = 4, num_rrdb: int = 23,
     pipeline = SRPipeline(weights_path=weights, upscale_factor=upscale_factor,
                           num_rrdb=num_rrdb, bfloat16=bfloat16)
     lock = threading.Lock()
-    latencies: list = []
+    latencies: deque = deque(maxlen=1024)  # stats window; bounds memory
     served = [0]
 
     if warmup_size:
