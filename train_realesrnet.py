@@ -133,6 +133,11 @@ def main(args) -> None:
             cfg, checkpoint_frequency=args.checkpoint_frequency)
     if getattr(args, "loader", ""):
         cfg = dataclasses.replace(cfg, loader=args.loader)
+    if getattr(args, "train_dir", ""):
+        cfg = dataclasses.replace(cfg, train_image_dir=args.train_dir)
+    if getattr(args, "valid_dir", ""):
+        cfg = dataclasses.replace(cfg, valid_image_dir=args.valid_dir)
+    exp_name = getattr(args, "exp_name", "") or run_config.exp_name
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
@@ -168,7 +173,7 @@ def main(args) -> None:
     state = jax.device_put(state, replicated_sharding(mesh))
     print("Build all model successfully.")
 
-    samples_dir = os.path.join("samples", run_config.exp_name)
+    samples_dir = os.path.join("samples", exp_name)
     start_epoch, best_niqe = 0, 100.0
     lead = jax.process_index() == 0
     resume = args.resume or cfg.resume
@@ -207,14 +212,14 @@ def main(args) -> None:
     eval_fn = make_eval_fn(model)
     niqe_model = NIQE(crop_border=model_cfg.upscale_factor)
 
-    results_dir = os.path.join("results", run_config.exp_name)
+    results_dir = os.path.join("results", exp_name)
     os.makedirs(samples_dir, exist_ok=True)
     os.makedirs(results_dir, exist_ok=True)
     writer = None
     if not args.no_tensorboard:
         from torch.utils.tensorboard import SummaryWriter
 
-        writer = SummaryWriter(os.path.join("samples", "logs", run_config.exp_name))
+        writer = SummaryWriter(os.path.join("samples", "logs", exp_name))
 
     epochs = cfg.epochs
     data_sharding = batch_sharding(mesh)
@@ -313,4 +318,10 @@ if __name__ == "__main__":
     parser.add_argument("--loader", type=str, default="",
                         choices=("", "auto", "grain", "threads"),
                         help="training data loader (default: config)")
+    parser.add_argument("--train-dir", type=str, default="",
+                        help="override config train_image_dir")
+    parser.add_argument("--valid-dir", type=str, default="",
+                        help="override config valid_image_dir")
+    parser.add_argument("--exp-name", type=str, default="",
+                        help="override config exp_name (samples/results dirs)")
     main(parser.parse_args())
