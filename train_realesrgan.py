@@ -82,6 +82,12 @@ def main(args) -> None:
             cfg, checkpoint_frequency=args.checkpoint_frequency)
     if getattr(args, "loader", ""):
         cfg = dataclasses.replace(cfg, loader=args.loader)
+    if getattr(args, "train_dir", ""):
+        cfg = dataclasses.replace(cfg, train_image_dir=args.train_dir)
+    if getattr(args, "valid_dir", ""):
+        cfg = dataclasses.replace(cfg, valid_image_dir=args.valid_dir)
+    if getattr(args, "exp_name", ""):
+        cfg = dataclasses.replace(cfg, exp_name=args.exp_name)
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
@@ -307,6 +313,12 @@ if __name__ == "__main__":
     parser.add_argument("--loader", type=str, default="",
                         choices=("", "auto", "grain", "threads"),
                         help="training data loader (default: config)")
+    parser.add_argument("--train-dir", type=str, default="",
+                        help="override config train_image_dir")
+    parser.add_argument("--valid-dir", type=str, default="",
+                        help="override config valid_image_dir")
+    parser.add_argument("--exp-name", type=str, default="",
+                        help="override config exp_name (samples/results dirs)")
     parser.add_argument("--allow-random-vgg", action="store_true",
                         help="explicitly allow GAN training with random VGG "
                              "features when no pretrained weights exist")
