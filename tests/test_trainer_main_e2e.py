@@ -96,6 +96,25 @@ def test_esrnet_checkpoint_cadence(tmp_path, monkeypatch):
     assert int(tree["epoch"]) == 3
 
 
+def test_esrnet_exp_name_override(tmp_path, monkeypatch):
+    """--exp-name must route samples/ and results/ away from the config
+    default so quality runs never clobber an existing baseline."""
+    import train_realesrnet as trainer
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(run_config, "geometry", TINY_GEO)
+    monkeypatch.setattr(run_config, "model", TINY_MODEL)
+    monkeypatch.setattr(run_config, "degradation", TINY_DEG)
+    monkeypatch.setattr(run_config, "train_esrnet",
+                        TrainConfig(batch_size=8, print_frequency=1, epochs=1,
+                                    num_workers=2))
+
+    trainer.main(_args(exp_name="override_run"))
+
+    assert os.path.exists(os.path.join("results", "override_run", "g_last"))
+    assert not os.path.exists(os.path.join("results", run_config.exp_name))
+
+
 def test_esrgan_main_end_to_end(tmp_path, monkeypatch):
     import train_realesrgan as trainer
 
