@@ -175,6 +175,10 @@ class TrainConfig:
     # when checkpoint IO dominates, e.g. short epochs through a remote fs —
     # best/last copies are still maintained on saving epochs)
     checkpoint_frequency: int = 1
+    # overlap checkpoint IO with the next epoch's compute (AsyncSaver:
+    # on-device state snapshot + background fetch/serialize; the reference
+    # blocks on torch.save each epoch, train_realesrnet.py:117-129)
+    async_checkpoint: bool = True
 
     # StepLR for ESRNet (step = epochs // 5, gamma 0.5; config.py:105-106);
     # 0 means "derive from epochs" so overriding epochs keeps the decay

@@ -146,3 +146,43 @@ def test_export_torch_cli(tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         jax.device_get(params), back)
+
+
+def test_async_saver_roundtrip_and_donation_safety(tmp_path):
+    """AsyncSaver must snapshot device buffers BEFORE returning: the jitted
+    train step donates the state, so by the time the background thread runs
+    the original arrays are deleted."""
+    from real_esrgan_tpu.train.checkpoint import (
+        AsyncSaver, copy_checkpoint, load_checkpoint,
+    )
+
+    x = jnp.arange(8.0)
+    payload = {"epoch": 3, "params": {"w": x}}
+    saver = AsyncSaver()
+    saver.save(str(tmp_path / "ck"), payload,
+               copies=[str(tmp_path / "last")])
+    x.delete()  # simulate donation consuming the buffer
+    saver.wait()
+
+    for name in ("ck", "last"):
+        tree = load_checkpoint(str(tmp_path / name))
+        np.testing.assert_array_equal(tree["params"]["w"], np.arange(8.0))
+        assert int(tree["epoch"]) == 3
+
+
+def test_async_saver_ordering_and_error_propagation(tmp_path):
+    from real_esrgan_tpu.train.checkpoint import AsyncSaver, load_checkpoint
+
+    saver = AsyncSaver()
+    for i in range(3):  # each save joins the previous: last write wins
+        saver.save(str(tmp_path / "ck"), {"epoch": i})
+    saver.wait()
+    assert int(load_checkpoint(str(tmp_path / "ck"))["epoch"]) == 2
+
+    saver.save("/proc/definitely/not/writable", {"epoch": 0})
+    try:
+        saver.wait()
+        raise AssertionError("expected RuntimeError from failed async save")
+    except RuntimeError:
+        pass
+    saver.wait()  # error is consumed; saver remains usable

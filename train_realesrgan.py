@@ -204,6 +204,8 @@ def main(args) -> None:
 
     epochs = cfg.epochs
     data_sharding = batch_sharding(mesh)
+    # Lead-host async checkpoint writer (g_* and d_* saved as one unit).
+    saver = ckpt_lib.AsyncSaver() if (cfg.async_checkpoint and lead) else None
     key = jax.random.PRNGKey(cfg.seed + 1)
 
     for epoch in range(start_epoch, epochs):
@@ -275,26 +277,35 @@ def main(args) -> None:
         best_niqe = min(niqe, best_niqe)
 
         g_payload = {"epoch": epoch + 1, "best_niqe": best_niqe,
-                     "step": jax.device_get(state.step),
-                     "params": jax.device_get(state.g_params),
+                     "step": state.step,
+                     "params": state.g_params,
                      "ema_params": ema_host,
-                     "opt_state": jax.device_get(state.g_opt)}
+                     "opt_state": state.g_opt}
         d_payload = {"epoch": epoch + 1, "best_niqe": best_niqe,
-                     "params": jax.device_get(state.d_params),
-                     "batch_stats": jax.device_get(state.d_stats),
-                     "opt_state": jax.device_get(state.d_opt)}
+                     "params": state.d_params,
+                     "batch_stats": state.d_stats,
+                     "opt_state": state.d_opt}
         g_path = os.path.join(samples_dir, f"g_epoch_{epoch + 1}")
         d_path = os.path.join(samples_dir, f"d_epoch_{epoch + 1}")
-        ckpt_lib.save_checkpoint(g_path, g_payload)
-        ckpt_lib.save_checkpoint(d_path, d_payload)
-        if is_best:
-            ckpt_lib.copy_checkpoint(g_path, os.path.join(results_dir, "g_best"))
-            ckpt_lib.copy_checkpoint(d_path, os.path.join(results_dir, "d_best"))
         # last copies track every saving epoch (reference
         # train_realesrgan.py:168-177) so an interrupted run always leaves
         # loadable results/<exp>/{g_last,d_last}.
-        ckpt_lib.copy_checkpoint(g_path, os.path.join(results_dir, "g_last"))
-        ckpt_lib.copy_checkpoint(d_path, os.path.join(results_dir, "d_last"))
+        g_copies = ([os.path.join(results_dir, "g_best")] if is_best else []) \
+            + [os.path.join(results_dir, "g_last")]
+        d_copies = ([os.path.join(results_dir, "d_best")] if is_best else []) \
+            + [os.path.join(results_dir, "d_last")]
+        if saver is not None:
+            saver.save_many([(g_path, g_payload, g_copies),
+                             (d_path, d_payload, d_copies)])
+        else:
+            for path, payload, copies in ((g_path, g_payload, g_copies),
+                                          (d_path, d_payload, d_copies)):
+                ckpt_lib.save_checkpoint(path, jax.device_get(payload))
+                for dst in copies:
+                    ckpt_lib.copy_checkpoint(path, dst)
+
+    if saver is not None:
+        saver.wait()  # final checkpoints must be durable before exit
 
 
 if __name__ == "__main__":

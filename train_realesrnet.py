@@ -224,6 +224,9 @@ def main(args) -> None:
     epochs = cfg.epochs
     data_sharding = batch_sharding(mesh)
     key = jax.random.PRNGKey(cfg.seed + 1)
+    # Lead-host async checkpoint writer: overlaps epoch save IO (~1 min on a
+    # relayed TPU) with the next epoch's compute.
+    saver = ckpt_lib.AsyncSaver() if (cfg.async_checkpoint and lead) else None
 
     for epoch in range(start_epoch, epochs):
         batch_time = AverageMeter("Time", "6.3f")
@@ -287,19 +290,26 @@ def main(args) -> None:
         payload = {
             "epoch": epoch + 1,
             "best_niqe": best_niqe,
-            "step": jax.device_get(state.step),
-            "params": jax.device_get(state.params),
+            "step": state.step,
+            "params": state.params,
             "ema_params": ema_host,
-            "opt_state": jax.device_get(state.opt_state),
+            "opt_state": state.opt_state,
         }
         epoch_path = os.path.join(samples_dir, f"g_epoch_{epoch + 1}")
-        ckpt_lib.save_checkpoint(epoch_path, payload)
-        if is_best:
-            ckpt_lib.copy_checkpoint(epoch_path, os.path.join(results_dir, "g_best"))
         # g_last tracks every saving epoch (reference train_realesrnet.py:124-129)
         # so an interrupted run always leaves a loadable results/<exp>/g_last —
         # the GAN stage's default warm-start path (config.py).
-        ckpt_lib.copy_checkpoint(epoch_path, os.path.join(results_dir, "g_last"))
+        copies = ([os.path.join(results_dir, "g_best")] if is_best else []) \
+            + [os.path.join(results_dir, "g_last")]
+        if saver is not None:
+            saver.save(epoch_path, payload, copies)
+        else:
+            ckpt_lib.save_checkpoint(epoch_path, jax.device_get(payload))
+            for dst in copies:
+                ckpt_lib.copy_checkpoint(epoch_path, dst)
+
+    if saver is not None:
+        saver.wait()  # final checkpoint must be durable before exit
 
 
 if __name__ == "__main__":
