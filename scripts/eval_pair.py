@@ -21,7 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("--weights", required=True)
+    p.add_argument("--weights",
+                   help="Orbax checkpoint dir or reference .pth.tar "
+                        "(omit with --bicubic)")
+    p.add_argument("--bicubic", action="store_true",
+                   help="score MATLAB-bicubic upscaling instead of a model "
+                        "— the no-model baseline every SR result must beat")
     p.add_argument("--lr-dir", required=True)
     p.add_argument("--hr-dir", required=True)
     p.add_argument("--upscale-factor", type=int, default=4)
@@ -44,28 +49,53 @@ def main(argv=None) -> None:
     from real_esrgan_tpu.train.checkpoint import load_generator_params
     from real_esrgan_tpu.utils.imgio import load_image_rgb, natsorted_files
 
-    pipeline = SRPipeline(upscale_factor=a.upscale_factor, num_rrdb=a.num_rrdb)
-    pipeline.params = load_generator_params(a.weights,
-                                            prefer_ema=not a.use_params)
+    if a.bicubic:
+        import jax.numpy as jnp
+
+        from real_esrgan_tpu.ops.resize import matlab_resize
+
+        def upscale(lr):
+            up = matlab_resize(jnp.asarray(lr)[None], float(a.upscale_factor))
+            return np.clip(np.asarray(up[0]), 0.0, 1.0)
+    else:
+        if not a.weights:
+            p.error("--weights is required unless --bicubic is given")
+        pipeline = SRPipeline(upscale_factor=a.upscale_factor,
+                              num_rrdb=a.num_rrdb)
+        pipeline.params = load_generator_params(a.weights,
+                                                prefer_ema=not a.use_params)
+        upscale = pipeline.upscale
     niqe_model = NIQE(crop_border=a.upscale_factor)
 
     psnrs, niqes = [], []
     for path in natsorted_files(a.lr_dir):
         hr_path = os.path.join(a.hr_dir, os.path.basename(path))
-        sr = pipeline.upscale(load_image_rgb(path))
+        sr = upscale(load_image_rgb(path))
         hr = load_image_rgb(hr_path)
         if sr.shape != hr.shape:
             raise ValueError(f"{path}: SR {sr.shape} vs HR {hr.shape}")
         mse = float(np.mean((sr.astype(np.float64) - hr) ** 2))
         psnr = 10 * np.log10(1.0 / mse) if mse > 0 else 99.0
-        score = min(float(niqe_model(sr[None])[0]), 100.0)
         psnrs.append(psnr)
-        niqes.append(score)
-        print(f"{os.path.basename(path)}: PSNR {psnr:5.2f} dB  NIQE {score:5.2f}")
+        # NIQE needs at least one 96x96 block after the border crop, and
+        # the MVG fit degenerates (NaN) with too few blocks
+        if min(sr.shape[:2]) - 2 * a.upscale_factor >= 96:
+            score = min(float(niqe_model(sr[None])[0]), 100.0)
+            if np.isfinite(score):
+                niqes.append(score)
+                niqe_txt = f"{score:5.2f}"
+            else:
+                niqe_txt = "  n/a (degenerate fit: too few blocks)"
+        else:
+            niqe_txt = "  n/a (image < 96px)"
+        print(f"{os.path.basename(path)}: PSNR {psnr:5.2f} dB  "
+              f"NIQE {niqe_txt}")
     print(json.dumps({"psnr_mean": round(float(np.mean(psnrs)), 3),
-                      "niqe_mean": round(float(np.mean(niqes)), 3),
+                      "niqe_mean": (round(float(np.mean(niqes)), 3)
+                                    if niqes else None),
                       "n": len(psnrs),
-                      "which": "params" if a.use_params else "ema"}))
+                      "which": ("bicubic" if a.bicubic
+                                else "params" if a.use_params else "ema")}))
 
 
 if __name__ == "__main__":
