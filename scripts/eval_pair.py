@@ -68,6 +68,7 @@ def main(argv=None) -> None:
     niqe_model = NIQE(crop_border=a.upscale_factor)
 
     psnrs, niqes = [], []
+    by_source: dict = {}
     for path in natsorted_files(a.lr_dir):
         hr_path = os.path.join(a.hr_dir, os.path.basename(path))
         sr = upscale(load_image_rgb(path))
@@ -77,6 +78,9 @@ def main(argv=None) -> None:
         mse = float(np.mean((sr.astype(np.float64) - hr) ** 2))
         psnr = 10 * np.log10(1.0 / mse) if mse > 0 else 99.0
         psnrs.append(psnr)
+        # group tiles like "wood_heldout_003.png" under source "wood"
+        source = os.path.basename(path).split("_")[0]
+        by_source.setdefault(source, []).append(psnr)
         # NIQE needs at least one 96x96 block after the border crop, and
         # the MVG fit degenerates (NaN) with too few blocks
         if min(sr.shape[:2]) - 2 * a.upscale_factor >= 96:
@@ -90,12 +94,16 @@ def main(argv=None) -> None:
             niqe_txt = "  n/a (image < 96px)"
         print(f"{os.path.basename(path)}: PSNR {psnr:5.2f} dB  "
               f"NIQE {niqe_txt}")
-    print(json.dumps({"psnr_mean": round(float(np.mean(psnrs)), 3),
-                      "niqe_mean": (round(float(np.mean(niqes)), 3)
-                                    if niqes else None),
-                      "n": len(psnrs),
-                      "which": ("bicubic" if a.bicubic
-                                else "params" if a.use_params else "ema")}))
+    summary = {"psnr_mean": round(float(np.mean(psnrs)), 3),
+               "niqe_mean": (round(float(np.mean(niqes)), 3)
+                             if niqes else None),
+               "n": len(psnrs),
+               "which": ("bicubic" if a.bicubic
+                         else "params" if a.use_params else "ema")}
+    if len(by_source) > 1:
+        summary["psnr_by_source"] = {
+            s: round(float(np.mean(v)), 2) for s, v in sorted(by_source.items())}
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
