@@ -279,11 +279,11 @@ def main() -> None:
     extras = {}
     stages = [
         ("tiled", "x4_tiled_2k_to_8k_megapixels_per_sec", "MP/s",
-         lambda: measure_tiled(3), "tiled_mp_per_s"),
+         lambda: measure_tiled(max(1, a.iters // 3)), "tiled_mp_per_s"),
         ("train", "x4_train_images_per_sec_per_chip", "imgs/s",
-         lambda: measure_train(16, a.iters, mix=False), "train_imgs_per_s"),
+         lambda: measure_train(a.batch, a.iters, mix=False), "train_imgs_per_s"),
         ("gan", "x4_gan_train_images_per_sec_per_chip", "imgs/s",
-         lambda: measure_gan(16, a.iters, mix=False), "gan_imgs_per_s"),
+         lambda: measure_gan(a.batch, a.iters, mix=False), "gan_imgs_per_s"),
     ]
     for mode, metric, unit, fn, extra_key in stages:
         if time.perf_counter() - t_start > a.budget:

@@ -9,9 +9,12 @@ and adds what the hand-rolled loaders cannot offer:
 * **Deterministic global order**: one `IndexSampler` with a fixed seed drives
   the whole pod; each process reads only its `ShardByJaxProcess` slice — no
   per-process RNG drift, bitwise-reproducible across restarts.
-* **Resumable mid-epoch**: `get_state()/set_state()` round-trips the iterator
-  position (grain's PyGrainDatasetIterator state), so elastic restarts can
-  continue mid-epoch instead of at epoch boundaries.
+* **Resumable stream position**: `get_state()/set_state()` round-trips the
+  iterator position (grain's PyGrainDatasetIterator state).  The trainers
+  persist it per process at every saving epoch (`save_loader_state`) and
+  restore it on elastic restart (`restore_loader_state`), so a resumed run
+  CONTINUES the deterministic global stream instead of replaying it from
+  record 0; snapshotting mid-epoch works too via the same API.
 * **Process-pool workers**: decode + crop runs in `worker_count` separate
   processes (no GIL), overlapping with the device step like the reference's
   DataLoader workers (/root/reference/dataset.py:148-154).
@@ -22,6 +25,7 @@ so environments without grain fall back to the default loader chain.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -63,6 +67,8 @@ class _CropSource:
 
         path = self._files[record_key % len(self._files)]
         bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+        if bgr is None:  # match imgio.load_image_rgb: name the bad file
+            raise FileNotFoundError(f"unreadable image: {path}")
         img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         h, w, _ = img.shape
         s = self.hr_size
@@ -113,13 +119,55 @@ class GrainLoader:
         for _ in range(self._steps):
             yield np.asarray(next(self._it))
 
-    # ---- elastic mid-epoch resume ----
-    def get_state(self):
+    # ---- elastic resume ----
+    def get_state(self) -> bytes:
         if self._it is None:
             self._it = iter(self._loader)
-        return self._it.get_state()
+        return bytes(self._it.get_state())
 
-    def set_state(self, state) -> None:
+    def set_state(self, state: bytes) -> None:
         if self._it is None:
             self._it = iter(self._loader)
         self._it.set_state(state)
+
+
+def _state_path(samples_dir: str, process_index: int) -> str:
+    return os.path.join(samples_dir, f"loader_state_p{process_index}.bin")
+
+
+def save_loader_state(loader, samples_dir: str, epoch: int,
+                      process_index: int = 0) -> None:
+    """Persist ``loader``'s stream position, tagged with the epoch it
+    corresponds to.  No-op for loaders without ``get_state`` (the stateless
+    threaded/native loaders reseed per epoch and need nothing).  Written per
+    PROCESS to local disk — each pod host owns its shard's iterator, so the
+    state never crosses hosts."""
+    if not hasattr(loader, "get_state"):
+        return
+    path = _state_path(samples_dir, process_index)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(int(epoch).to_bytes(8, "little") + loader.get_state())
+    os.replace(tmp, path)
+
+
+def restore_loader_state(loader, samples_dir: str, epoch: int,
+                         process_index: int = 0) -> bool:
+    """Restore the stream position saved for ``epoch`` (the resumed run's
+    start epoch).  Returns False — stream restarts from record 0, the
+    pre-wiring behavior — when the loader is stateless, no state file
+    exists, or the file's epoch tag does not match (e.g. the process died
+    between the loader-state write and the checkpoint's async completion)."""
+    if not hasattr(loader, "set_state") or epoch <= 0:
+        return False
+    path = _state_path(samples_dir, process_index)
+    if not os.path.exists(path):
+        return False
+    with open(path, "rb") as f:
+        blob = f.read()
+    if int.from_bytes(blob[:8], "little") != epoch:
+        print(f"WARNING: {path} is for a different epoch than the resumed "
+              f"checkpoint; the data stream restarts from record 0.")
+        return False
+    loader.set_state(blob[8:])
+    return True

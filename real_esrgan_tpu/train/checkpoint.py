@@ -56,10 +56,25 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 
 
 def copy_checkpoint(src: str, dst: str) -> None:
+    """Crash-safe copy: build next to ``dst``, then swap via renames.
+
+    ``dst`` may be the run's only ``results/<exp>/g_last`` — the GAN stage's
+    default warm start — and the copy runs on the AsyncSaver thread, so the
+    process can die at ANY point.  rmtree-then-copytree would leave a window
+    with ``dst`` missing or partial; the rename swap keeps a complete tree at
+    ``dst`` at all times (worst case a stale ``.old``/``.tmp`` sibling that
+    the next copy clears)."""
     src, dst = os.path.abspath(src), os.path.abspath(dst)
+    tmp, old = dst + ".tmp", dst + ".old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    shutil.copytree(src, tmp)
     if os.path.exists(dst):
-        shutil.rmtree(dst)
-    shutil.copytree(src, dst)
+        os.rename(dst, old)
+    os.rename(tmp, dst)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 class AsyncSaver:

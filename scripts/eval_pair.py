@@ -79,7 +79,7 @@ def main(argv=None) -> None:
         psnr = 10 * np.log10(1.0 / mse) if mse > 0 else 99.0
         psnrs.append(psnr)
         # group tiles like "wood_heldout_003.png" under source "wood"
-        source = os.path.basename(path).split("_")[0]
+        source = os.path.splitext(os.path.basename(path))[0].split("_")[0]
         by_source.setdefault(source, []).append(psnr)
         # NIQE needs at least one 96x96 block after the border crop, and
         # the MVG fit degenerates (NaN) with too few blocks

@@ -100,11 +100,17 @@ def build_app(weights: str = "", upscale_factor: int = 4, num_rrdb: int = 23,
                 self._json(400, {"error": f"bad image: {exc}"})
                 return
             t0 = time.perf_counter()
-            with lock:
-                sr = pipeline.upscale(lr)
-                dt = time.perf_counter() - t0
-                latencies.append(dt)
-                served[0] += 1
+            try:
+                with lock:
+                    sr = pipeline.upscale(lr)
+                    dt = time.perf_counter() - t0
+                    latencies.append(dt)
+                    served[0] += 1
+            except Exception as exc:
+                # an HTTP 500 beats a dropped connection (a degenerate-but-
+                # decodable input, or device OOM on a huge upload, lands here)
+                self._json(500, {"error": f"upscale failed: {exc}"})
+                return
             out = Image.fromarray(
                 (np.clip(sr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8))
             buf = io.BytesIO()

@@ -186,3 +186,30 @@ def test_async_saver_ordering_and_error_propagation(tmp_path):
     except RuntimeError:
         pass
     saver.wait()  # error is consumed; saver remains usable
+
+
+def test_copy_checkpoint_swap_is_crash_safe(tmp_path):
+    """copy_checkpoint must never leave dst missing/partial: it builds a
+    .tmp sibling and swaps via renames, clearing stale .tmp/.old leftovers
+    from a previous crash."""
+    from real_esrgan_tpu.train.checkpoint import copy_checkpoint
+
+    src = tmp_path / "g_epoch_2"
+    src.mkdir()
+    (src / "data").write_text("new")
+    dst = tmp_path / "g_last"
+    dst.mkdir()
+    (dst / "data").write_text("old")
+    # stale leftovers from a crash mid-swap
+    (tmp_path / "g_last.tmp").mkdir()
+    (tmp_path / "g_last.tmp" / "data").write_text("junk")
+    (tmp_path / "g_last.old").mkdir()
+
+    copy_checkpoint(str(src), str(dst))
+
+    assert (dst / "data").read_text() == "new"
+    assert not (tmp_path / "g_last.tmp").exists()
+    assert not (tmp_path / "g_last.old").exists()
+    # fresh dst (no previous copy) also works
+    copy_checkpoint(str(src), str(tmp_path / "g_best"))
+    assert (tmp_path / "g_best" / "data").read_text() == "new"

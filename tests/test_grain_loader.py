@@ -75,3 +75,34 @@ def test_mid_stream_resume(image_files):
     got_rest = _batches(resumed)
     np.testing.assert_array_equal(ref_batches[2], got_rest[0])
     np.testing.assert_array_equal(ref_batches[3], got_rest[1])
+
+
+def test_loader_state_file_roundtrip(image_files, tmp_path):
+    """save_loader_state/restore_loader_state: the trainer wiring contract."""
+    mk = lambda: grain_loader.GrainLoader(  # noqa: E731
+        image_files, batch=4, hr_size=32, num_workers=0, seed=13)
+    ref_batches = _batches(mk(), n_epochs=2)
+
+    ld = mk()
+    _batches(ld)  # consume epoch 1
+    grain_loader.save_loader_state(ld, str(tmp_path), epoch=1)
+
+    resumed = mk()  # fresh process, elastic restart at epoch 1
+    assert grain_loader.restore_loader_state(resumed, str(tmp_path), 1)
+    got = _batches(resumed)
+    for want, have in zip(ref_batches[3:], got):
+        np.testing.assert_array_equal(want, have)
+
+
+def test_loader_state_epoch_mismatch_and_stateless(image_files, tmp_path):
+    mk = lambda: grain_loader.GrainLoader(  # noqa: E731
+        image_files, batch=4, hr_size=32, num_workers=0, seed=13)
+    ld = mk()
+    grain_loader.save_loader_state(ld, str(tmp_path), epoch=5)
+    # epoch tag mismatch -> refuse (stream restarts, pre-wiring behavior)
+    assert not grain_loader.restore_loader_state(mk(), str(tmp_path), 4)
+    # stateless loaders are a silent no-op on both sides
+    grain_loader.save_loader_state(object(), str(tmp_path), epoch=1)
+    assert not grain_loader.restore_loader_state(object(), str(tmp_path), 1)
+    # missing file -> False
+    assert not grain_loader.restore_loader_state(mk(), str(tmp_path / "x"), 1)

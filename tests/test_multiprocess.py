@@ -55,22 +55,28 @@ def test_two_process_training_with_elastic_resume(tmp_path):
     for attempt in range(2):
         procs = _launch(tmp_path / f"attempt{attempt}")
         outs = []
+        timed_out = False
         try:
             for p in procs:
-                out, _ = p.communicate(timeout=1800)
+                try:
+                    out, _ = p.communicate(timeout=1800)
+                except subprocess.TimeoutExpired:
+                    timed_out = True  # hung rendezvous: retryable like a crash
+                    out = "(attempt timed out)"
                 outs.append(out)
         finally:
             for p in procs:
                 if p.poll() is None:
                     p.kill()
-        if any(p.returncode for p in procs) and attempt == 0:
-            # Gloo's ~30s rendezvous loses to machine load (DEADLINE_EXCEEDED
-            # or downstream barrier errors, wording varies by XLA version).
-            # One retry cannot mask a real bug — deterministic failures fail
-            # both attempts.
+        if (timed_out or any(p.returncode for p in procs)) and attempt == 0:
+            # Gloo's ~30s rendezvous loses to machine load (DEADLINE_EXCEEDED,
+            # downstream barrier errors, or an outright hang — wording varies
+            # by XLA version).  One retry cannot mask a real bug —
+            # deterministic failures fail both attempts.
             continue
         break
 
+    assert not timed_out, "both attempts hung in rendezvous"
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
         assert f"MP_WORKER_OK rank={rank}" in out

@@ -23,6 +23,7 @@ from real_esrgan_tpu.data import (
     DevicePrefetcher, TestImageDataset, ThreadedLoader, TrainImageDataset,
     ValidImageDataset,
 )
+from real_esrgan_tpu.data import grain_loader
 from real_esrgan_tpu.metrics.niqe import NIQE
 from real_esrgan_tpu.models.convert import convert_vgg19
 from real_esrgan_tpu.parallel import (
@@ -186,13 +187,16 @@ def main(args) -> None:
         state = host_state
         start_epoch, best_niqe = int(meta[0]), float(meta[1])
 
+    if grain_loader.restore_loader_state(loader, samples_dir, start_epoch,
+                                         jax.process_index()):
+        print("Restored data-loader stream position.")
+
     state = jax.device_put(state, replicated_sharding(mesh))
     train_step = make_gan_train_step(generator, discriminator, vgg, vgg_params,
                                      g_tx, d_tx, geo, kcfg, dcfg, cfg)
     eval_fn = make_eval_fn(generator)
     niqe_model = NIQE(crop_border=model_cfg.upscale_factor)
 
-    samples_dir = os.path.join("samples", cfg.exp_name)
     results_dir = os.path.join("results", cfg.exp_name)
     os.makedirs(samples_dir, exist_ok=True)
     os.makedirs(results_dir, exist_ok=True)
@@ -256,8 +260,19 @@ def main(args) -> None:
                 batch_time.update(time.time() - end)
             end = time.time()
 
+        # best_niqe folds in ONLY on saving epochs (see train_realesrnet.py:
+        # g_best always points at an existing checkpoint; frequency > 1 opts
+        # into coarser best tracking by design).
+        saving = ((epoch + 1) % cfg.checkpoint_frequency == 0
+                  or (epoch + 1) == epochs)
+        if saving:  # every process snapshots its own shard's stream position
+            grain_loader.save_loader_state(loader, samples_dir, epoch + 1,
+                                           jax.process_index())
+
         if jax.process_index() != 0:
             continue  # eval + checkpoint IO happen on the lead host only
+        if not saving and writer is None:
+            continue  # the NIQE would be discarded: skip the eval entirely
 
         ema_host = jax.device_get(state.g_ema)
         if valid_ds:
@@ -268,10 +283,7 @@ def main(args) -> None:
                 if test_ds else 100.0)
         print("")
 
-        # best_niqe folds in ONLY on saving epochs (see train_realesrnet.py:
-        # g_best always points at an existing checkpoint; frequency > 1 opts
-        # into coarser best tracking by design).
-        if (epoch + 1) % cfg.checkpoint_frequency and (epoch + 1) != epochs:
+        if not saving:
             continue
         is_best = niqe < best_niqe
         best_niqe = min(niqe, best_niqe)

@@ -31,6 +31,7 @@ from real_esrgan_tpu.parallel import (
     batch_sharding, broadcast_pytree, broadcast_string, make_mesh,
     maybe_initialize_distributed, replicated_sharding,
 )
+from real_esrgan_tpu.data import grain_loader
 from real_esrgan_tpu.train import checkpoint as ckpt_lib
 from real_esrgan_tpu.train.esrnet import (
     TrainState, build_generator, build_optimizer, init_state, make_eval_fn,
@@ -207,6 +208,9 @@ def main(args) -> None:
         state = jax.device_put(host_state, replicated_sharding(mesh))
         start_epoch, best_niqe = int(meta[0]), float(meta[1])
         print(f"Resumed from `{resume}` at epoch {start_epoch}.")
+        if grain_loader.restore_loader_state(loader, samples_dir, start_epoch,
+                                             jax.process_index()):
+            print("Restored data-loader stream position.")
 
     train_step = make_train_step(model, tx, geo, kcfg, dcfg, cfg.ema_decay)
     eval_fn = make_eval_fn(model)
@@ -266,8 +270,21 @@ def main(args) -> None:
                 batch_time.update(time.time() - end)
             end = time.time()
 
+        # best_niqe folds in ONLY on saving epochs, so g_best always points at
+        # a checkpoint that exists and can never go stale (with
+        # checkpoint_frequency > 1 the user opts into coarser tracking — an
+        # off-cadence best epoch is intentionally not written; frequency=1,
+        # the reference default, evaluates every epoch).
+        saving = ((epoch + 1) % cfg.checkpoint_frequency == 0
+                  or (epoch + 1) == epochs)
+        if saving:  # every process snapshots its own shard's stream position
+            grain_loader.save_loader_state(loader, samples_dir, epoch + 1,
+                                           jax.process_index())
+
         if jax.process_index() != 0:
             continue  # eval + checkpoint IO happen on the lead host only
+        if not saving and writer is None:
+            continue  # the NIQE would be discarded: skip the eval entirely
 
         ema_host = jax.device_get(state.ema_params)
         if valid_ds:
@@ -278,12 +295,7 @@ def main(args) -> None:
                 if test_ds else 100.0)
         print("")
 
-        # best_niqe folds in ONLY on saving epochs, so g_best always points at
-        # a checkpoint that exists and can never go stale (with
-        # checkpoint_frequency > 1 the user opts into coarser tracking — an
-        # off-cadence best epoch is intentionally not written; frequency=1,
-        # the reference default, evaluates every epoch).
-        if (epoch + 1) % cfg.checkpoint_frequency and (epoch + 1) != epochs:
+        if not saving:
             continue
         is_best = niqe < best_niqe
         best_niqe = min(niqe, best_niqe)
