@@ -130,3 +130,58 @@ def test_esrgan_main_end_to_end(tmp_path, monkeypatch):
 
     for name in ("g_last", "d_last"):
         assert os.path.exists(os.path.join("results", cfg.exp_name, name)), name
+
+
+def test_esrnet_grain_loader_resume_continues_stream(tmp_path, monkeypatch,
+                                                     capsys):
+    """--loader grain + --resume auto: the stream position is persisted at
+    saving epochs (samples/<exp>/loader_state_p0.bin, epoch-tagged) and
+    restored on elastic restart, so the resumed run CONTINUES the
+    deterministic global stream instead of replaying it from record 0."""
+    import cv2
+
+    import train_realesrnet as trainer
+    from real_esrgan_tpu.data import grain_loader
+
+    if not grain_loader.available():
+        import pytest
+
+        pytest.skip("grain not installed")
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(5)
+    train_dir = tmp_path / "train"
+    train_dir.mkdir()
+    for i in range(16):
+        cv2.imwrite(str(train_dir / f"im{i:02d}.png"),
+                    (rng.random((64, 64, 3)) * 255).astype(np.uint8))
+    aux = tmp_path / "aux"  # one image: datasets refuse empty dirs, and
+    aux.mkdir()             # validate() is stubbed (NIQE needs >=96px SR)
+    cv2.imwrite(str(aux / "v.png"),
+                (rng.random((64, 64, 3)) * 255).astype(np.uint8))
+    monkeypatch.setattr(trainer, "validate", lambda *a, **k: 100.0)
+
+    monkeypatch.setattr(run_config, "geometry", TINY_GEO)
+    monkeypatch.setattr(run_config, "model", TINY_MODEL)
+    monkeypatch.setattr(run_config, "degradation", TINY_DEG)
+    monkeypatch.setattr(run_config, "train_esrnet",
+                        TrainConfig(batch_size=8, print_frequency=1, epochs=1,
+                                    num_workers=0, loader="grain",
+                                    train_image_dir=str(train_dir),
+                                    valid_image_dir=str(aux),
+                                    test_lr_image_dir=str(aux),
+                                    test_hr_image_dir=str(aux)))
+
+    trainer.main(_args(synthetic=False))
+    state_file = os.path.join("samples", run_config.exp_name,
+                              "loader_state_p0.bin")
+    assert os.path.exists(state_file), "loader state not persisted"
+    with open(state_file, "rb") as f:
+        assert int.from_bytes(f.read(8), "little") == 1
+    capsys.readouterr()
+
+    trainer.main(_args(synthetic=False, epochs=2, resume="auto"))
+    out = capsys.readouterr().out
+    assert "Restored data-loader stream position." in out
+    with open(state_file, "rb") as f:
+        assert int.from_bytes(f.read(8), "little") == 2
