@@ -14,7 +14,7 @@ converter (models/convert.py) is a pure rename + OIHW->HWIO transpose.
 from __future__ import annotations
 
 import math
-from typing import Any
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -233,6 +233,58 @@ class RRDB(nn.Module):
         out = ResidualDenseBlock(self.channels, self.growth, self.dtype,
                                  self.packed, name="rdb3")(out)
         return out * jnp.asarray(0.2, out.dtype) + x
+
+
+class TrunkFeatures(nn.Module):
+    """Perceptual feature taps from a (frozen) stage-1 generator trunk.
+
+    In-environment alternative to the reference's pretrained-VGG19
+    ContentLoss (/root/reference/model.py:278-335) for deployments where the
+    torchvision weights are unavailable: the stage-1 ESRNet generator's own
+    early trunk is a TRAINED feature space over real images, unlike a
+    random-init VGG (whose long-horizon NIQE drift is documented in
+    docs/PARITY.md).  Tap t=0 is the conv1 output; tap t>=1 is the output of
+    RRDB t-1.  Parameter names match the Generator subtree ("conv1",
+    "trunk_i"), so frozen params are extracted directly from a stage-1
+    checkpoint's generator tree (see ``trunk_feature_params``).
+
+    Cost note: for x4 the trunk runs at INPUT resolution (no pixel-unshuffle
+    downscale), so content inputs are the 256px HR crops — keep ``taps``
+    shallow (default depth 2) to stay in the same FLOP class as the VGG path.
+    """
+    taps: Sequence[int] = (0, 1, 2)
+    upscale_factor: int = 4
+    channels: int = 64
+    growth: int = 32
+    dtype: Any = jnp.float32
+    packed: bool = True
+    # content_loss checks this: generator inputs are [0,1], NOT ImageNet-
+    # normalized (VGG19Features lacks the attr and defaults to True)
+    imagenet_input = False
+
+    @nn.compact
+    def __call__(self, x):
+        factor = {1: 4, 2: 2}.get(self.upscale_factor, 1)
+        out = pixel_unshuffle(x, factor).astype(self.dtype)
+        out = _conv3x3(out, self.channels, "conv1", self.dtype)
+        feats = []
+        if 0 in self.taps:
+            feats.append(out.astype(jnp.float32))
+        for i in range(max(self.taps)):
+            out = RRDB(self.channels, self.growth, self.dtype,
+                       self.packed, name=f"trunk_{i}")(out)
+            if (i + 1) in self.taps:
+                feats.append(out.astype(jnp.float32))
+        return feats
+
+
+def trunk_feature_params(generator_params: dict, taps: Sequence[int]) -> dict:
+    """Extract the frozen TrunkFeatures subtree from a full generator tree."""
+    keys = ["conv1"] + [f"trunk_{i}" for i in range(max(taps))]
+    missing = [k for k in keys if k not in generator_params]
+    if missing:
+        raise KeyError(f"generator params lack trunk layers {missing}")
+    return {k: generator_params[k] for k in keys}
 
 
 class Generator(nn.Module):

@@ -93,9 +93,14 @@ def make_gan_train_step(generator, discriminator, vgg, vgg_params,
     usm_kernel = gaussian_kernel_1d(dcfg.usm_radius, 0.0)  # host numpy, static
     bce = optax.sigmoid_binary_cross_entropy
 
+    # VGG19Features expects ImageNet-normalized inputs; TrunkFeatures (the
+    # frozen stage-1 trunk backbone) consumes raw [0, 1] generator inputs.
+    norm = (normalize_imagenet if getattr(vgg, "imagenet_input", True)
+            else (lambda x: x))
+
     def content_loss(sr_sharp, hr):
-        sr_f = vgg.apply({"params": vgg_params}, normalize_imagenet(sr_sharp))
-        hr_f = vgg.apply({"params": vgg_params}, normalize_imagenet(hr))
+        sr_f = vgg.apply({"params": vgg_params}, norm(sr_sharp))
+        hr_f = vgg.apply({"params": vgg_params}, norm(hr))
         taps = jnp.stack([jnp.mean(jnp.abs(a - b)) for a, b in zip(sr_f, hr_f)])
         return jnp.sum(content_weights * taps)
 

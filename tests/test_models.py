@@ -193,3 +193,45 @@ def test_st_clamp_escapes_saturation():
         grads = jax.grad(loss)(params)
         gnorm = float(sum(jnp.sum(g ** 2) for g in jax.tree_util.tree_leaves(grads)))
         assert (gnorm > 1e-8) == expect_grad, (st, gnorm)
+
+
+def test_trunk_features_matches_generator_subtree():
+    """TrunkFeatures' param tree is the exact conv1+trunk_i subtree of the
+    Generator, so frozen stage-1 checkpoints drop in directly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from real_esrgan_tpu.models import (
+        Generator, TrunkFeatures, trunk_feature_params,
+    )
+
+    gen = Generator(upscale_factor=4, num_rrdb=3, channels=16, growth=8)
+    g_params = gen.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, 16, 3)))["params"]
+
+    taps = (0, 1, 2)
+    feat = TrunkFeatures(taps=taps, upscale_factor=4, channels=16, growth=8)
+    f_params = trunk_feature_params(g_params, taps)
+
+    # structural match: TrunkFeatures init produces the same tree
+    own = feat.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))["params"]
+    assert jax.tree_util.tree_structure(own) == \
+        jax.tree_util.tree_structure(f_params)
+
+    x = jnp.asarray(np.random.default_rng(2).random((2, 24, 24, 3)), jnp.float32)
+    feats = feat.apply({"params": f_params}, x)
+    assert len(feats) == 3
+    assert feats[0].shape == (2, 24, 24, 16)  # conv1 tap
+    assert feats[2].shape == (2, 24, 24, 16)  # RRDB-2 tap
+    # taps must be the real trained activations: deterministic + distinct
+    feats2 = feat.apply({"params": f_params}, x)
+    np.testing.assert_array_equal(np.asarray(feats[1]), np.asarray(feats2[1]))
+    assert not np.allclose(np.asarray(feats[0]), np.asarray(feats[1]))
+
+    try:
+        trunk_feature_params(g_params, (0, 1, 2, 3, 4))
+    except KeyError as e:
+        assert "trunk_3" in str(e)
+    else:
+        raise AssertionError("missing trunk layers must raise")

@@ -185,3 +185,54 @@ def test_esrnet_grain_loader_resume_continues_stream(tmp_path, monkeypatch,
     assert "Restored data-loader stream position." in out
     with open(state_file, "rb") as f:
         assert int.from_bytes(f.read(8), "little") == 2
+
+
+def test_esrgan_trunk_content_backbone(tmp_path, monkeypatch, capsys):
+    """--content-backbone trunk: the GAN stage trains with the frozen
+    stage-1 trunk as the perceptual feature space (no VGG weights needed,
+    no --allow-random-vgg)."""
+    import train_realesrgan as trainer
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(run_config, "geometry", TINY_GEO)
+    monkeypatch.setattr(run_config, "model", TINY_MODEL)
+    monkeypatch.setattr(run_config, "degradation", TINY_DEG)
+    cfg = GanTrainConfig(batch_size=8, print_frequency=1, epochs=1,
+                         num_workers=2, exp_name="gan_trunk_e2e")
+    monkeypatch.setattr(run_config, "train_esrgan", cfg)
+
+    trainer.main(_args(resume_g="", resume_d="",
+                       content_backbone="trunk"))
+    out = capsys.readouterr().out
+    assert "frozen stage-1 generator trunk" in out
+    for name in ("g_last", "d_last"):
+        assert os.path.exists(os.path.join("results", cfg.exp_name, name)), name
+
+
+def test_esrgan_trunk_backbone_requires_warm_start(tmp_path, monkeypatch):
+    """Without --synthetic and without a stage-1 warm start, the trunk
+    backbone refuses: a random trunk is no better than random VGG."""
+    import cv2
+    import pytest
+
+    import train_realesrgan as trainer
+
+    monkeypatch.chdir(tmp_path)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    cv2.imwrite(str(d / "a.png"),
+                (np.random.default_rng(0).random((64, 64, 3)) * 255)
+                .astype(np.uint8))
+    monkeypatch.setattr(run_config, "geometry", TINY_GEO)
+    monkeypatch.setattr(run_config, "model", TINY_MODEL)
+    monkeypatch.setattr(run_config, "degradation", TINY_DEG)
+    cfg = GanTrainConfig(batch_size=8, print_frequency=1, epochs=1,
+                         num_workers=0, exp_name="gan_trunk_guard",
+                         resume="", train_image_dir=str(d),
+                         valid_image_dir=str(d),
+                         test_lr_image_dir=str(d), test_hr_image_dir=str(d))
+    monkeypatch.setattr(run_config, "train_esrgan", cfg)
+
+    with pytest.raises(SystemExit, match="warm start"):
+        trainer.main(_args(synthetic=False, resume="", resume_g="",
+                           resume_d="", content_backbone="trunk"))

@@ -25,6 +25,7 @@ from real_esrgan_tpu.data import (
 )
 from real_esrgan_tpu.data import grain_loader
 from real_esrgan_tpu.metrics.niqe import NIQE
+from real_esrgan_tpu.models import TrunkFeatures, trunk_feature_params
 from real_esrgan_tpu.models.convert import convert_vgg19
 from real_esrgan_tpu.parallel import (
     batch_sharding, broadcast_pytree, broadcast_string, make_mesh,
@@ -38,6 +39,10 @@ from real_esrgan_tpu.train.esrgan import (
 from real_esrgan_tpu.train.esrnet import make_eval_fn
 from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
 from train_realesrnet import SyntheticHRDataset, validate
+
+# --content-backbone trunk: tap conv1 (0) and the first two RRDB outputs —
+# shallow keeps the 256px-resolution taps in the VGG path's FLOP class.
+TRUNK_FEATURE_TAPS = (0, 1, 2)
 
 
 def load_vgg_params(vgg, cfg, allow_random: bool = False) -> dict:
@@ -122,9 +127,26 @@ def main(args) -> None:
     g_tx, d_tx = build_optimizers(cfg, steps_per_epoch)
     state = init_gan_state(jax.random.PRNGKey(cfg.seed), generator,
                            discriminator, g_tx, d_tx, geo)
-    vgg_params = load_vgg_params(
-        vgg, cfg,
-        allow_random=getattr(args, "allow_random_vgg", False) or args.synthetic)
+    backbone = getattr(args, "content_backbone", "") or "vgg"
+    if backbone == "trunk":
+        # Frozen stage-1 generator trunk as the perceptual feature space —
+        # the in-env alternative when pretrained VGG19 weights don't exist
+        # (random-VGG drift: docs/PARITY.md). Params are extracted AFTER the
+        # warm-start load below, so the taps come from the TRAINED trunk.
+        trunk_taps = tuple(t for t in TRUNK_FEATURE_TAPS
+                           if t <= model_cfg.num_rrdb)
+        vgg = TrunkFeatures(
+            taps=trunk_taps, upscale_factor=model_cfg.upscale_factor,
+            channels=model_cfg.channels, growth=model_cfg.growth_channels,
+            dtype=jnp.bfloat16 if cfg.use_bfloat16 else jnp.float32)
+        cfg = dataclasses.replace(
+            cfg, content_weights=(1.0,) * len(trunk_taps))
+        vgg_params = None
+    else:
+        vgg_params = load_vgg_params(
+            vgg, cfg,
+            allow_random=getattr(args, "allow_random_vgg", False)
+            or args.synthetic)
 
     samples_dir = os.path.join("samples", cfg.exp_name)
     start_epoch, best_niqe = 0, 100.0
@@ -190,6 +212,17 @@ def main(args) -> None:
     if grain_loader.restore_loader_state(loader, samples_dir, start_epoch,
                                          jax.process_index()):
         print("Restored data-loader stream position.")
+
+    if backbone == "trunk":
+        if not (resume or resume_g) and not args.synthetic:
+            raise SystemExit(
+                "--content-backbone trunk needs a stage-1 warm start "
+                "(--resume <g_last>): the frozen feature space is the "
+                "TRAINED trunk, not a random one.")
+        vgg_params = trunk_feature_params(jax.device_get(state.g_params),
+                                          trunk_taps)
+        print(f"Content loss backbone: frozen stage-1 generator trunk "
+              f"(taps {trunk_taps}).")
 
     state = jax.device_put(state, replicated_sharding(mesh))
     train_step = make_gan_train_step(generator, discriminator, vgg, vgg_params,
@@ -342,6 +375,11 @@ if __name__ == "__main__":
                         help="override config valid_image_dir")
     parser.add_argument("--exp-name", type=str, default="",
                         help="override config exp_name (samples/results dirs)")
+    parser.add_argument("--content-backbone", type=str, default="vgg",
+                        choices=("vgg", "trunk"),
+                        help="perceptual feature space: pretrained VGG19 "
+                             "(reference parity) or the frozen stage-1 "
+                             "generator trunk (no external weights needed)")
     parser.add_argument("--allow-random-vgg", action="store_true",
                         help="explicitly allow GAN training with random VGG "
                              "features when no pretrained weights exist")
