@@ -1,0 +1,57 @@
+#!/bin/bash
+# One-shot InEnv10 quality program (fires after TPU relay recovery).
+#
+# Stage 1: warm-start continuation of the two-photo model on the 10-source
+# dataset; eval on both held-out sets (vs docs/inenv10_baselines.json).
+# Stage 2: GAN continuation with the trunk-feature perceptual loss
+# (--content-backbone trunk, no VGG weights in-env); re-eval.
+# Logs: /tmp/inenv10_*.log  Scores: /tmp/inenv10_scores.jsonl
+set -u
+cd "$(dirname "$0")/.."
+SCORES=/tmp/inenv10_scores.jsonl
+: > "$SCORES"
+
+note() { echo "[inenv10 $(date +%H:%M:%S)] $*"; }
+
+score() { # score <tag> <weights> [extra eval_pair args...]
+  local tag=$1 weights=$2; shift 2
+  for set in degraded clean; do
+    local lr hr
+    if [ $set = degraded ]; then
+      lr=data/InEnv10/eval_degraded/LRx4; hr=data/InEnv10/eval_degraded/GTmod4
+    else
+      lr=data/InEnv10/eval/LRbicx4; hr=data/InEnv10/eval/GTmod4
+    fi
+    note "eval $tag ($set)"
+    local line
+    line=$(timeout 2400 python scripts/eval_pair.py --weights "$weights" \
+        --lr-dir $lr --hr-dir $hr "$@" 2>/dev/null | tail -1)
+    echo "{\"tag\": \"$tag\", \"set\": \"$set\", \"result\": $line}" >> "$SCORES"
+    echo "$tag/$set: $line"
+  done
+}
+
+note "stage 1: ESRNet continuation on InEnv10 (warm start = two-photo g_best)"
+timeout 14400 python train_realesrnet.py \
+    --train-dir data/InEnv10/train --exp-name RealESRNet_inenv10 \
+    --resume results/RealESRNet_multi/g_best --epochs 700 --batch-size 16 \
+    --checkpoint-frequency 25 --no-tensorboard \
+    > /tmp/inenv10_s1.log 2>&1
+note "stage 1 rc=$? (log tail below)"; tail -3 /tmp/inenv10_s1.log
+
+score s1_ema results/RealESRNet_inenv10/g_best
+score s1_params results/RealESRNet_inenv10/g_best --use-params
+
+note "stage 2: GAN with trunk-feature content loss"
+timeout 10800 python train_realesrgan.py \
+    --train-dir data/InEnv10/train --exp-name RealESRGAN_inenv10 \
+    --resume results/RealESRNet_inenv10/g_best --content-backbone trunk \
+    --epochs 100 --batch-size 16 --checkpoint-frequency 20 --no-tensorboard \
+    > /tmp/inenv10_s2.log 2>&1
+note "stage 2 rc=$? (log tail below)"; tail -3 /tmp/inenv10_s2.log
+
+score gan_ema results/RealESRGAN_inenv10/g_best
+score gan_params results/RealESRGAN_inenv10/g_best --use-params
+
+note "done; scores:"
+cat "$SCORES"
