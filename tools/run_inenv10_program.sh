@@ -1,8 +1,10 @@
 #!/bin/bash
 # One-shot InEnv10 quality program (fires after TPU relay recovery).
 #
-# Stage 1: warm-start continuation of the two-photo model on the 10-source
-# dataset; eval on both held-out sets (vs docs/inenv10_baselines.json).
+# Stage 1: ESRNet training on the 10-source dataset (from scratch with
+# elastic --resume auto: the two-photo warm start was lost to a machine
+# reset; results/ is gitignored); eval on both held-out sets
+# (vs docs/inenv10_baselines.json).
 # Stage 2: GAN continuation with the trunk-feature perceptual loss
 # (--content-backbone trunk, no VGG weights in-env); re-eval.
 # Logs: /tmp/inenv10_*.log  Scores: /tmp/inenv10_scores.jsonl
@@ -31,10 +33,10 @@ score() { # score <tag> <weights> [extra eval_pair args...]
   done
 }
 
-note "stage 1: ESRNet continuation on InEnv10 (warm start = two-photo g_best)"
+note "stage 1: ESRNet from scratch on InEnv10 (elastic resume auto)"
 timeout 14400 python train_realesrnet.py \
     --train-dir data/InEnv10/train --exp-name RealESRNet_inenv10 \
-    --resume results/RealESRNet_multi/g_best --epochs 700 --batch-size 16 \
+    --resume auto --epochs 700 --batch-size 16 \
     --checkpoint-frequency 25 --no-tensorboard \
     > /tmp/inenv10_s1.log 2>&1
 note "stage 1 rc=$? (log tail below)"; tail -3 /tmp/inenv10_s1.log
