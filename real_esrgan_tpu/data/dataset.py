@@ -105,6 +105,31 @@ class TestImageDataset:
         return {"lr": read(self.lr_files[index]), "hr": read(self.hr_files[index])}
 
 
+def build_eval_datasets(valid_dir: str, test_lr_dir: str, test_hr_dir: str,
+                        crop_size: int, scale: int):
+    """Per-epoch eval datasets, tolerating absent directories.
+
+    The reference hard-fails at import of its eval dirs (dataset.py:178
+    os.listdir); here a missing directory downgrades to an empty dataset
+    with a warning so a training run configured for a machine that has
+    Set5/DIV2K-valid still works on one that doesn't (both trainers already
+    handle empty eval sets — that is --synthetic's normal state).
+    """
+    if os.path.isdir(valid_dir):
+        valid_ds = ValidImageDataset(valid_dir, crop_size, scale)
+    else:
+        valid_ds = []
+        print(f"Validation dir `{valid_dir}` not found - skipping the "
+              f"per-epoch valid NIQE eval.")
+    if os.path.isdir(test_lr_dir) and os.path.isdir(test_hr_dir):
+        test_ds = TestImageDataset(test_lr_dir, test_hr_dir)
+    else:
+        test_ds = []
+        print(f"Test pair dirs `{test_lr_dir}` / `{test_hr_dir}` not found - "
+              f"skipping the per-epoch test NIQE eval.")
+    return valid_ds, test_ds
+
+
 class ThreadedLoader:
     """Shuffling, batching loader with decode worker threads.
 

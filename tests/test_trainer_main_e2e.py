@@ -187,6 +187,41 @@ def test_esrnet_grain_loader_resume_continues_stream(tmp_path, monkeypatch,
         assert int.from_bytes(f.read(8), "little") == 2
 
 
+def test_esrnet_missing_eval_dirs_skip(tmp_path, monkeypatch, capsys):
+    """Missing valid/test eval dirs downgrade to a warning + skipped eval,
+    not a crash (the reference hard-fails in os.listdir), and the
+    --valid-dir/--test-lr-dir/--test-hr-dir CLI overrides reach the config."""
+    import cv2
+
+    import train_realesrnet as trainer
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(11)
+    train_dir = tmp_path / "train"
+    train_dir.mkdir()
+    for i in range(8):
+        cv2.imwrite(str(train_dir / f"im{i}.png"),
+                    (rng.random((64, 64, 3)) * 255).astype(np.uint8))
+
+    monkeypatch.setattr(run_config, "geometry", TINY_GEO)
+    monkeypatch.setattr(run_config, "model", TINY_MODEL)
+    monkeypatch.setattr(run_config, "degradation", TINY_DEG)
+    monkeypatch.setattr(run_config, "train_esrnet",
+                        TrainConfig(batch_size=8, print_frequency=1, epochs=1,
+                                    num_workers=0,
+                                    train_image_dir=str(train_dir)))
+
+    trainer.main(_args(synthetic=False,
+                       valid_dir=str(tmp_path / "no_valid"),
+                       test_lr_dir=str(tmp_path / "no_lr"),
+                       test_hr_dir=str(tmp_path / "no_hr")))
+    out = capsys.readouterr().out
+    assert "skipping the per-epoch valid NIQE eval" in out
+    assert "skipping the per-epoch test NIQE eval" in out
+    assert os.path.exists(os.path.join("results", run_config.exp_name,
+                                       "g_last"))
+
+
 def test_esrgan_trunk_content_backbone(tmp_path, monkeypatch, capsys):
     """--content-backbone trunk: the GAN stage trains with the frozen
     stage-1 trunk as the perceptual feature space (no VGG weights needed,

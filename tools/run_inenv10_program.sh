@@ -33,24 +33,51 @@ score() { # score <tag> <weights> [extra eval_pair args...]
   done
 }
 
+# Uniform 256px validation tiles (single eval compile shape on the relay);
+# the trainer's per-saving-epoch NIQE eval reads these.
+if [ ! -d data/InEnv10/valid ]; then
+  python - <<'PYEOF'
+import cv2, os
+src, dst = "data/InEnv10/eval_src", "data/InEnv10/valid"
+os.makedirs(dst, exist_ok=True)
+for f in sorted(os.listdir(src)):
+    img = cv2.imread(os.path.join(src, f))
+    h, w = img.shape[:2]
+    if h < 256 or w < 256:
+        continue
+    t, l = (h - 256) // 2, (w - 256) // 2
+    cv2.imwrite(os.path.join(dst, f), img[t:t+256, l:l+256])
+PYEOF
+fi
+
 note "stage 1: ESRNet from scratch on InEnv10 (elastic resume auto)"
 timeout 14400 python train_realesrnet.py \
-    --train-dir data/InEnv10/train --exp-name RealESRNet_inenv10 \
+    --train-dir data/InEnv10/train --valid-dir data/InEnv10/valid \
+    --exp-name RealESRNet_inenv10 \
     --resume auto --epochs 700 --batch-size 16 \
     --checkpoint-frequency 25 --no-tensorboard \
     > /tmp/inenv10_s1.log 2>&1
-note "stage 1 rc=$? (log tail below)"; tail -3 /tmp/inenv10_s1.log
+rc=$?
+note "stage 1 rc=$rc (log tail below)"; tail -3 /tmp/inenv10_s1.log
+if [ $rc -ne 0 ] && [ ! -e results/RealESRNet_inenv10/g_best ]; then
+  note "stage 1 failed with no checkpoint; aborting"; exit 1
+fi
 
 score s1_ema results/RealESRNet_inenv10/g_best
 score s1_params results/RealESRNet_inenv10/g_best --use-params
 
 note "stage 2: GAN with trunk-feature content loss"
 timeout 10800 python train_realesrgan.py \
-    --train-dir data/InEnv10/train --exp-name RealESRGAN_inenv10 \
+    --train-dir data/InEnv10/train --valid-dir data/InEnv10/valid \
+    --exp-name RealESRGAN_inenv10 \
     --resume results/RealESRNet_inenv10/g_best --content-backbone trunk \
     --epochs 100 --batch-size 16 --checkpoint-frequency 20 --no-tensorboard \
     > /tmp/inenv10_s2.log 2>&1
-note "stage 2 rc=$? (log tail below)"; tail -3 /tmp/inenv10_s2.log
+rc=$?
+note "stage 2 rc=$rc (log tail below)"; tail -3 /tmp/inenv10_s2.log
+if [ $rc -ne 0 ] && [ ! -e results/RealESRGAN_inenv10/g_best ]; then
+  note "stage 2 failed with no checkpoint; stopping before GAN evals"; exit 1
+fi
 
 score gan_ema results/RealESRGAN_inenv10/g_best
 score gan_params results/RealESRGAN_inenv10/g_best --use-params

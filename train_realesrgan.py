@@ -20,8 +20,7 @@ import numpy as np
 
 import config as run_config
 from real_esrgan_tpu.data import (
-    DevicePrefetcher, TestImageDataset, ThreadedLoader, TrainImageDataset,
-    ValidImageDataset,
+    DevicePrefetcher, ThreadedLoader, TrainImageDataset, build_eval_datasets,
 )
 from real_esrgan_tpu.data import grain_loader
 from real_esrgan_tpu.metrics.niqe import NIQE
@@ -92,6 +91,10 @@ def main(args) -> None:
         cfg = dataclasses.replace(cfg, train_image_dir=args.train_dir)
     if getattr(args, "valid_dir", ""):
         cfg = dataclasses.replace(cfg, valid_image_dir=args.valid_dir)
+    if getattr(args, "test_lr_dir", ""):
+        cfg = dataclasses.replace(cfg, test_lr_image_dir=args.test_lr_dir)
+    if getattr(args, "test_hr_dir", ""):
+        cfg = dataclasses.replace(cfg, test_hr_image_dir=args.test_hr_dir)
     if getattr(args, "exp_name", ""):
         cfg = dataclasses.replace(cfg, exp_name=args.exp_name)
 
@@ -111,8 +114,9 @@ def main(args) -> None:
         valid_ds, test_ds = [], []
     else:
         train_ds = TrainImageDataset(cfg.train_image_dir, geo.hr_size)
-        valid_ds = ValidImageDataset(cfg.valid_image_dir, geo.crop_size, geo.scale)
-        test_ds = TestImageDataset(cfg.test_lr_image_dir, cfg.test_hr_image_dir)
+        valid_ds, test_ds = build_eval_datasets(
+            cfg.valid_image_dir, cfg.test_lr_image_dir, cfg.test_hr_image_dir,
+            geo.crop_size, geo.scale)
     if args.synthetic:
         loader = ThreadedLoader(train_ds, local_batch, cfg.num_workers,
                                 seed=cfg.seed)
@@ -373,6 +377,10 @@ if __name__ == "__main__":
                         help="override config train_image_dir")
     parser.add_argument("--valid-dir", type=str, default="",
                         help="override config valid_image_dir")
+    parser.add_argument("--test-lr-dir", type=str, default="",
+                        help="override config test_lr_image_dir")
+    parser.add_argument("--test-hr-dir", type=str, default="",
+                        help="override config test_hr_image_dir")
     parser.add_argument("--exp-name", type=str, default="",
                         help="override config exp_name (samples/results dirs)")
     parser.add_argument("--content-backbone", type=str, default="vgg",

@@ -23,8 +23,7 @@ import numpy as np
 
 import config as run_config
 from real_esrgan_tpu.data import (
-    DevicePrefetcher, TestImageDataset, ThreadedLoader, TrainImageDataset,
-    ValidImageDataset,
+    DevicePrefetcher, ThreadedLoader, TrainImageDataset, build_eval_datasets,
 )
 from real_esrgan_tpu.metrics.niqe import NIQE
 from real_esrgan_tpu.parallel import (
@@ -138,6 +137,10 @@ def main(args) -> None:
         cfg = dataclasses.replace(cfg, train_image_dir=args.train_dir)
     if getattr(args, "valid_dir", ""):
         cfg = dataclasses.replace(cfg, valid_image_dir=args.valid_dir)
+    if getattr(args, "test_lr_dir", ""):
+        cfg = dataclasses.replace(cfg, test_lr_image_dir=args.test_lr_dir)
+    if getattr(args, "test_hr_dir", ""):
+        cfg = dataclasses.replace(cfg, test_hr_image_dir=args.test_hr_dir)
     exp_name = getattr(args, "exp_name", "") or run_config.exp_name
 
     mesh = make_mesh()
@@ -160,8 +163,9 @@ def main(args) -> None:
                                 seed=cfg.seed)
     else:
         train_ds = TrainImageDataset(cfg.train_image_dir, geo.hr_size)
-        valid_ds = ValidImageDataset(cfg.valid_image_dir, geo.crop_size, geo.scale)
-        test_ds = TestImageDataset(cfg.test_lr_image_dir, cfg.test_hr_image_dir)
+        valid_ds, test_ds = build_eval_datasets(
+            cfg.valid_image_dir, cfg.test_lr_image_dir, cfg.test_hr_image_dir,
+            geo.crop_size, geo.scale)
         loader = make_train_loader(train_ds, local_batch, cfg, geo)
     steps_per_epoch = len(loader)
     print(f"Loaded datasets: {len(train_ds)} train images, "
@@ -344,6 +348,10 @@ if __name__ == "__main__":
                         help="override config train_image_dir")
     parser.add_argument("--valid-dir", type=str, default="",
                         help="override config valid_image_dir")
+    parser.add_argument("--test-lr-dir", type=str, default="",
+                        help="override config test_lr_image_dir")
+    parser.add_argument("--test-hr-dir", type=str, default="",
+                        help="override config test_hr_image_dir")
     parser.add_argument("--exp-name", type=str, default="",
                         help="override config exp_name (samples/results dirs)")
     main(parser.parse_args())
