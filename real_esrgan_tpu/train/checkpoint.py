@@ -137,14 +137,45 @@ class AsyncSaver:
             raise RuntimeError("async checkpoint save failed") from error
 
 
+def save_params_npz(path: str, params: Dict[str, Any],
+                    dtype=np.float16) -> None:
+    """Snapshot a generator param tree as one compressed ``.npz`` file.
+
+    Keys are ``/``-joined tree paths; values default to f16 (~2 bytes/param,
+    within bf16-compute round-off of the f32 originals).  This is the
+    small-single-file archival format for trained weights — Orbax dirs stay
+    the training format, ``.pth.tar`` the torch-interop format.
+    """
+    flat = {"/".join(str(getattr(k, "key", k)) for k in kp): np.asarray(v, dtype)
+            for kp, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    np.savez_compressed(path, **flat)
+
+
+def _load_params_npz(path: str) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    with np.load(path) as data:
+        for key in data.files:
+            node = tree
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            arr = data[key]
+            node[parts[-1]] = arr.astype(np.float32) \
+                if arr.dtype == np.float16 else arr
+    return tree
+
+
 def load_generator_params(path: str, prefer_ema: bool = True) -> Dict[str, Any]:
-    """Load generator params from either format:
+    """Load generator params from any of the three weight formats:
 
     * reference ``.pth.tar``: uses ``ema_state_dict`` (with ``model.`` prefix
       strip) when present and preferred, else ``state_dict``
       (/root/reference/test.py:33-37, inference.py:27-34);
+    * compact ``.npz`` snapshots written by ``save_params_npz``;
     * this framework's Orbax checkpoint dirs: ``ema_params`` or ``params``.
     """
+    if path.endswith(".npz"):
+        return _load_params_npz(path)
     if path.endswith((".pth.tar", ".pth", ".tar")):
         ckpt = load_torch_checkpoint(path)
         if isinstance(ckpt, dict) and ("state_dict" in ckpt or "ema_state_dict" in ckpt):

@@ -47,6 +47,45 @@ def test_merge_matching_partial():
     assert "c" not in merged
 
 
+def test_npz_snapshot_roundtrip_and_cli(tmp_path):
+    """save_params_npz <-> load_generator_params round trip (f16 within
+    tolerance), including the snapshot_weights CLI from an Orbax dir."""
+    from real_esrgan_tpu.train.checkpoint import save_params_npz
+
+    rng = np.random.default_rng(3)
+    params = {"conv1": {"kernel": rng.normal(size=(3, 3, 3, 8))
+                        .astype(np.float32),
+                        "bias": rng.normal(size=8).astype(np.float32)},
+              "trunk": {"rdb0": {"kernel": rng.normal(size=(1, 1, 8, 8))
+                                 .astype(np.float32)}}}
+    npz = str(tmp_path / "w.npz")
+    save_params_npz(npz, params)
+    loaded = load_generator_params(npz)
+    assert loaded["conv1"]["kernel"].dtype == np.float32  # f16 upcast on load
+    for got, want in zip(jax.tree_util.tree_leaves(loaded),
+                         jax.tree_util.tree_leaves(params)):
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    # CLI: Orbax checkpoint -> npz (EMA preferred), loadable the same way
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, {"params": params,
+                           "ema_params": jax.tree.map(lambda x: x + 1.0,
+                                                      params)})
+    import argparse
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    import snapshot_weights
+
+    out = str(tmp_path / "ema.npz")
+    snapshot_weights.main(argparse.Namespace(
+        checkpoint=ckpt, output=out, use_params=False, float32=False))
+    ema = load_generator_params(out)
+    np.testing.assert_allclose(ema["conv1"]["bias"],
+                               params["conv1"]["bias"] + 1.0, atol=1e-2)
+
+
 def test_load_generator_params_from_pth_tar(tmp_path):
     """Reference-format .pth.tar with ema_state_dict + model. prefix."""
     sd = {"conv1.weight": torch.zeros(4, 3, 3, 3),
