@@ -86,7 +86,8 @@ if __name__ == "__main__":
                         help="Where to write the super-resolved image.")
     parser.add_argument("--weights_path", type=str,
                         default="./results/pretrained_models/RealESRGAN_x4-DFO2K.pth.tar",
-                        help="Generator weights (.pth.tar or Orbax dir).")
+                        help="Generator weights (.pth.tar, Orbax dir, or "
+                             ".npz snapshot).")
     parser.add_argument("--upscale_factor", type=int, default=4)
     parser.add_argument("--bfloat16", action="store_true",
                         help="Run the trunk in bfloat16 (faster on TPU).")

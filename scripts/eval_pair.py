@@ -3,7 +3,8 @@
 The in-env quality loop's measurement tool (docs/PARITY.md): PSNR against
 the aligned ground truth tracks convergence (NIQE is misleading for
 partially-trained models), NIQE tracks perceptual quality once outputs look
-natural.  Works with Orbax checkpoint dirs or reference ``.pth.tar`` files.
+natural.  Works with Orbax checkpoint dirs, reference ``.pth.tar`` files, or
+compact ``.npz`` snapshots (scripts/snapshot_weights.py).
 
     python scripts/eval_pair.py --weights results/RealESRNet_baseline/g_last \
         --lr-dir data/Set5/LRbicx4 --hr-dir data/Set5/GTmod12 [--use-params]
@@ -22,8 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--weights",
-                   help="Orbax checkpoint dir or reference .pth.tar "
-                        "(omit with --bicubic)")
+                   help="Orbax checkpoint dir, reference .pth.tar, or .npz "
+                        "snapshot (omit with --bicubic)")
     p.add_argument("--bicubic", action="store_true",
                    help="score MATLAB-bicubic upscaling instead of a model "
                         "— the no-model baseline every SR result must beat")

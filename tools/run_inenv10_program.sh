@@ -65,6 +65,8 @@ fi
 
 score s1_ema results/RealESRNet_inenv10/g_best
 score s1_params results/RealESRNet_inenv10/g_best --use-params
+python scripts/snapshot_weights.py --checkpoint results/RealESRNet_inenv10/g_best \
+    --output assets/inenv10_esrnet_ema.npz
 
 note "stage 2: GAN with trunk-feature content loss"
 timeout 10800 python train_realesrgan.py \
@@ -81,6 +83,8 @@ fi
 
 score gan_ema results/RealESRGAN_inenv10/g_best
 score gan_params results/RealESRGAN_inenv10/g_best --use-params
+python scripts/snapshot_weights.py --checkpoint results/RealESRGAN_inenv10/g_best \
+    --output assets/inenv10_esrgan_ema.npz
 
 note "done; scores:"
 cat "$SCORES"
