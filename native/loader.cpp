@@ -10,7 +10,9 @@
 //
 // C ABI (consumed by real_esrgan_tpu/data/native_loader.py via ctypes):
 //   loader_create(num_threads) -> handle
+//   loader_set_cache_budget(handle, bytes)       decoded-image RAM cache
 //   loader_decode_crop_batch(handle, paths, n, crop, seed, out) -> 0 | -index-1
+//   loader_cache_stats(handle, &entries, &bytes)
 //   loader_destroy(handle)
 
 #include <atomic>
@@ -20,10 +22,12 @@
 #include <csetjmp>
 #include <cstdio>
 #include <functional>
+#include <memory>
 #include <mutex>
 #include <random>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 #include <png.h>
@@ -209,34 +213,97 @@ class Pool {
   bool stop_;
 };
 
+// ---------------------------------------------------------------------------
+// decoded-image RAM cache
+// ---------------------------------------------------------------------------
+//
+// Epoch loops re-decode the same files every pass; training sets of prepared
+// crops are small (450 InEnv10 images ~= 216 MB decoded), so caching decoded
+// RGB eliminates the decode cost from every epoch after the first.  First-fit
+// with no eviction: deterministic, and a dataset larger than the budget still
+// gets its head cached while the tail decodes as before.
+
+class ImageCache {
+ public:
+  std::shared_ptr<const Image> get(const std::string& path) {
+    std::lock_guard<std::mutex> lk(mu_);
+    auto it = map_.find(path);
+    return it == map_.end() ? nullptr : it->second;
+  }
+
+  void put(const std::string& path, const std::shared_ptr<const Image>& img) {
+    const uint64_t sz = img->rgb.size() + path.size() + 64;
+    std::lock_guard<std::mutex> lk(mu_);
+    if (map_.count(path) || used_ + sz > budget_) return;
+    used_ += sz;
+    map_.emplace(path, img);
+  }
+
+  void set_budget(uint64_t bytes) {
+    std::lock_guard<std::mutex> lk(mu_);
+    budget_ = bytes;
+  }
+
+  void stats(uint64_t* entries, uint64_t* bytes) {
+    std::lock_guard<std::mutex> lk(mu_);
+    *entries = map_.size();
+    *bytes = used_;
+  }
+
+ private:
+  std::mutex mu_;
+  uint64_t budget_ = 0, used_ = 0;
+  std::unordered_map<std::string, std::shared_ptr<const Image>> map_;
+};
+
+struct Loader {
+  Pool pool;
+  ImageCache cache;
+  explicit Loader(int n) : pool(n) {}
+};
+
 }  // namespace
 
 extern "C" {
 
 void* loader_create(int num_threads) {
-  return new Pool(num_threads > 0 ? num_threads : 4);
+  return new Loader(num_threads > 0 ? num_threads : 4);
 }
 
-void loader_destroy(void* handle) { delete static_cast<Pool*>(handle); }
+void loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }
+
+void loader_set_cache_budget(void* handle, uint64_t bytes) {
+  static_cast<Loader*>(handle)->cache.set_budget(bytes);
+}
+
+void loader_cache_stats(void* handle, uint64_t* entries, uint64_t* bytes) {
+  static_cast<Loader*>(handle)->cache.stats(entries, bytes);
+}
 
 // Decode n files, random-crop each to (crop, crop, 3) uint8 RGB, write into
 // out (n * crop * crop * 3 bytes).  Returns 0 on success, -(index+1) of the
 // first failed file otherwise.
 int loader_decode_crop_batch(void* handle, const char** paths, int n,
                              int crop, uint64_t seed, uint8_t* out) {
-  auto* pool = static_cast<Pool*>(handle);
+  auto* loader = static_cast<Loader*>(handle);
   std::atomic<int> failed(0);
   std::function<void(int)> task = [&](int i) {
-    Image img;
-    if (!decode_any(paths[i], &img) || img.h == 0 || img.w == 0) {
-      int expected = 0;
-      failed.compare_exchange_strong(expected, -(i + 1));
-      return;
+    std::shared_ptr<const Image> img = loader->cache.get(paths[i]);
+    if (!img) {
+      auto fresh = std::make_shared<Image>();
+      if (!decode_any(paths[i], fresh.get()) || fresh->h == 0 ||
+          fresh->w == 0) {
+        int expected = 0;
+        failed.compare_exchange_strong(expected, -(i + 1));
+        return;
+      }
+      img = fresh;
+      loader->cache.put(paths[i], img);
     }
-    random_crop_into(img, crop, seed * 0x9E3779B97F4A7C15ULL + i,
+    random_crop_into(*img, crop, seed * 0x9E3779B97F4A7C15ULL + i,
                      out + static_cast<size_t>(i) * crop * crop * 3);
   };
-  pool->run(n, task);
+  loader->pool.run(n, task);
   return failed.load();
 }
 

@@ -164,6 +164,10 @@ class TrainConfig:
     # "grain" = deterministic resumable grain pipeline (data/grain_loader.py);
     # "threads" = force the Python ThreadedLoader
     loader: str = "auto"
+    # decoded-image RAM cache budget for the epoch loop (both the C++ pool
+    # and the Python loader): 0 disables; the default holds ~4.6k decoded
+    # 400px crops — prepared-crop datasets stop re-decoding every epoch
+    decoded_cache_bytes: int = 2 * 1024**3
     epochs: int = 1298
     lr: float = 2e-4
     betas: Tuple[float, float] = (0.9, 0.99)

@@ -41,16 +41,27 @@ def _list_images(directory: str) -> List[str]:
 
 
 class TrainImageDataset:
-    """Yields uint8 RGB HR crops of exactly ``hr_size``."""
+    """Yields uint8 RGB HR crops of exactly ``hr_size``.
 
-    def __init__(self, image_dir: str, hr_size: int):
+    ``cache_bytes`` > 0 keeps decoded (pre-crop) images in RAM so epoch
+    loops stop re-decoding the same files — first-fit, no eviction; a
+    dataset over budget caches its head and decodes its tail.  Crops stay
+    random per call.  (The native C++ loader has its own twin cache.)
+    """
+
+    def __init__(self, image_dir: str, hr_size: int, cache_bytes: int = 0):
         self.files = _list_images(image_dir)
         self.hr_size = hr_size
+        self._cache: Dict[int, np.ndarray] = {}
+        self._cache_left = cache_bytes
 
     def __len__(self):
         return len(self.files)
 
-    def load(self, index: int, rng: np.random.Generator) -> np.ndarray:
+    def _decode(self, index: int) -> np.ndarray:
+        cached = self._cache.get(index)
+        if cached is not None:
+            return cached
         bgr = cv2.imread(self.files[index], cv2.IMREAD_COLOR)
         img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         h, w = img.shape[:2]
@@ -58,7 +69,15 @@ class TrainImageDataset:
         if h < s or w < s:  # reflect-pad small images up to crop size
             img = cv2.copyMakeBorder(img, 0, max(0, s - h), 0, max(0, s - w),
                                      cv2.BORDER_REFLECT_101)
-            h, w = img.shape[:2]
+        if img.nbytes <= self._cache_left:
+            self._cache_left -= img.nbytes  # GIL-atomic enough: worst case a
+            self._cache[index] = img        # racing thread re-decodes once
+        return img
+
+    def load(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        img = self._decode(index)
+        h, w = img.shape[:2]
+        s = self.hr_size
         top = int(rng.integers(0, h - s + 1))
         left = int(rng.integers(0, w - s + 1))
         return img[top:top + s, left:left + s]

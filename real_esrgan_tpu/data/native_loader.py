@@ -49,6 +49,11 @@ def _load():
         lib.loader_decode_crop_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.c_int, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint8)]
+        lib.loader_set_cache_budget.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_uint64]
+        lib.loader_cache_stats.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64)]
         _lib = lib
         return _lib
 
@@ -60,12 +65,15 @@ def available() -> bool:
 class NativeBatchLoader:
     """Decode n image files and random-crop into one uint8 batch, in C++."""
 
-    def __init__(self, num_threads: int = 8):
+    def __init__(self, num_threads: int = 8, cache_bytes: int = 0):
         lib = _load()
         if lib is None:
             raise RuntimeError("native loader unavailable (build failed)")
         self._lib = lib
         self._pool = lib.loader_create(num_threads)
+        if cache_bytes > 0:
+            lib.loader_set_cache_budget(self._pool,
+                                        ctypes.c_uint64(cache_bytes))
 
     def __del__(self):
         if getattr(self, "_pool", None):
@@ -84,6 +92,13 @@ class NativeBatchLoader:
             raise IOError(f"native decode failed for {paths[-rc - 1]}")
         return out
 
+    def cache_stats(self):
+        entries = ctypes.c_uint64(0)
+        used = ctypes.c_uint64(0)
+        self._lib.loader_cache_stats(self._pool, ctypes.byref(entries),
+                                     ctypes.byref(used))
+        return int(entries.value), int(used.value)
+
 
 class NativeThreadedLoader:
     """Epoch iterator over HR files using the C++ pool (drop-in for
@@ -91,7 +106,8 @@ class NativeThreadedLoader:
 
     def __init__(self, files: List[str], batch_size: int, crop: int,
                  num_threads: int = 8, seed: int = 0, prefetch: int = 2,
-                 shard_id: int = 0, num_shards: int = 1):
+                 shard_id: int = 0, num_shards: int = 1,
+                 cache_bytes: int = 0):
         self.files = list(files)
         self.batch_size = batch_size
         self.crop = crop
@@ -100,7 +116,7 @@ class NativeThreadedLoader:
         self.shard_id = shard_id
         self.num_shards = max(1, num_shards)
         self.epoch = 0
-        self._native = NativeBatchLoader(num_threads)
+        self._native = NativeBatchLoader(num_threads, cache_bytes=cache_bytes)
 
     def __len__(self):
         return (len(self.files) // self.num_shards) // self.batch_size

@@ -39,6 +39,25 @@ def test_train_dataset_pads_small_images(tmp_path):
     assert crop.shape == (48, 48, 3)
 
 
+def test_train_dataset_decoded_cache(tmp_path):
+    """cache_bytes keeps decoded images in RAM: same random stream yields
+    identical crops cached vs uncached, and the budget is respected."""
+    d = _make_dir_of_images(tmp_path, size=80)
+    plain = TrainImageDataset(d, hr_size=48)
+    cached = TrainImageDataset(d, hr_size=48, cache_bytes=1 << 20)
+    for i in range(len(cached)):
+        cached.load(i, np.random.default_rng(9))  # warm
+    assert len(cached._cache) == len(cached)
+    for i in range(len(cached)):
+        np.testing.assert_array_equal(
+            cached.load(i, np.random.default_rng(i)),
+            plain.load(i, np.random.default_rng(i)))
+
+    broke = TrainImageDataset(d, hr_size=48, cache_bytes=10)  # over budget
+    broke.load(0, np.random.default_rng(0))
+    assert not broke._cache
+
+
 def test_threaded_loader_batches_and_drop_last(tmp_path):
     d = _make_dir_of_images(tmp_path, n=10, size=64)
     loader = ThreadedLoader(TrainImageDataset(d, 32), batch_size=4,

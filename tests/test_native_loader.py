@@ -40,6 +40,30 @@ def test_batch_iteration_shapes_and_determinism():
         np.testing.assert_array_equal(a, b)
 
 
+def test_decoded_cache_hits_and_budget(tmp_path):
+    """Cached decode returns identical crops; budget 0 caches nothing; a
+    cached re-read matches a fresh decode byte-for-byte."""
+    ref = cv2.cvtColor(cv2.imread(PNGS[0]), cv2.COLOR_BGR2RGB)[:128, :128]
+    p = str(tmp_path / "c.png")
+    cv2.imwrite(p, cv2.cvtColor(ref, cv2.COLOR_RGB2BGR))
+
+    cold = NativeBatchLoader(2)                       # budget 0: no caching
+    cold.decode_crop_batch([p], 128, seed=0)
+    assert cold.cache_stats() == (0, 0)
+
+    warm = NativeBatchLoader(2, cache_bytes=1 << 20)
+    first = warm.decode_crop_batch([p, p], 128, seed=0)
+    entries, used = warm.cache_stats()
+    assert entries == 1 and 128 * 128 * 3 <= used < 1 << 20
+    second = warm.decode_crop_batch([p, p], 128, seed=0)  # served from cache
+    np.testing.assert_array_equal(first, second)
+    np.testing.assert_array_equal(second[0], ref)
+
+    tiny = NativeBatchLoader(2, cache_bytes=100)      # over budget: skip
+    tiny.decode_crop_batch([p], 128, seed=0)
+    assert tiny.cache_stats() == (0, 0)
+
+
 def test_missing_file_raises():
     nl = NativeBatchLoader(2)
     with pytest.raises(IOError):

@@ -113,7 +113,8 @@ def main(args) -> None:
                                       length=args.steps_per_epoch * local_batch)
         valid_ds, test_ds = [], []
     else:
-        train_ds = TrainImageDataset(cfg.train_image_dir, geo.hr_size)
+        train_ds = TrainImageDataset(cfg.train_image_dir, geo.hr_size,
+                                     cache_bytes=cfg.decoded_cache_bytes)
         valid_ds, test_ds = build_eval_datasets(
             cfg.valid_image_dir, cfg.test_lr_image_dir, cfg.test_hr_image_dir,
             geo.crop_size, geo.scale)

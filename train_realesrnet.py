@@ -65,9 +65,11 @@ def make_train_loader(train_ds, batch: int, cfg, geo):
 
             if available():
                 print("Using native C++ data loader.")
-                return NativeThreadedLoader(train_ds.files, batch, geo.hr_size,
-                                            num_threads=cfg.num_workers,
-                                            seed=cfg.seed, **shard)
+                return NativeThreadedLoader(
+                    train_ds.files, batch, geo.hr_size,
+                    num_threads=cfg.num_workers, seed=cfg.seed,
+                    cache_bytes=getattr(cfg, "decoded_cache_bytes", 0),
+                    **shard)
         except Exception as exc:
             print(f"Native loader unavailable ({exc}); using Python threads.")
     return ThreadedLoader(train_ds, batch, cfg.num_workers, seed=cfg.seed,
@@ -162,7 +164,8 @@ def main(args) -> None:
         loader = ThreadedLoader(train_ds, local_batch, cfg.num_workers,
                                 seed=cfg.seed)
     else:
-        train_ds = TrainImageDataset(cfg.train_image_dir, geo.hr_size)
+        train_ds = TrainImageDataset(cfg.train_image_dir, geo.hr_size,
+                                     cache_bytes=cfg.decoded_cache_bytes)
         valid_ds, test_ds = build_eval_datasets(
             cfg.valid_image_dir, cfg.test_lr_image_dir, cfg.test_hr_image_dir,
             geo.crop_size, geo.scale)
