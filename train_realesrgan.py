@@ -71,6 +71,8 @@ def load_vgg_params(vgg, cfg, allow_random: bool = False) -> dict:
 
 
 def main(args) -> None:
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
     # Multi-host: span jax.devices() over the whole pod before mesh creation
     # (SURVEY §5 distributed plan; no-op on a single host).
     maybe_initialize_distributed()
@@ -365,6 +367,9 @@ if __name__ == "__main__":
     parser.add_argument("--resume", type=str, default="")
     parser.add_argument("--resume-g", type=str, default="")
     parser.add_argument("--resume-d", type=str, default="")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the host CPU backend (dev parity with "
+                             "inference.py/eval_pair.py)")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--steps-per-epoch", type=int, default=8)
     parser.add_argument("--no-tensorboard", action="store_true")

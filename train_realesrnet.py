@@ -119,6 +119,8 @@ def validate(eval_fn, params, dataset, niqe_model, name: str, epoch: int,
 
 
 def main(args) -> None:
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
     # Multi-host: span jax.devices() over the whole pod before mesh creation
     # (SURVEY §5 distributed plan; no-op on a single host).
     maybe_initialize_distributed()
@@ -336,6 +338,9 @@ if __name__ == "__main__":
     parser.add_argument("--epochs", type=int, default=0, help="override config")
     parser.add_argument("--batch-size", type=int, default=0)
     parser.add_argument("--resume", type=str, default="")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the host CPU backend (dev parity with "
+                             "inference.py/eval_pair.py)")
     parser.add_argument("--synthetic", action="store_true",
                         help="train on random data (smoke test / benchmarking)")
     parser.add_argument("--steps-per-epoch", type=int, default=8,
