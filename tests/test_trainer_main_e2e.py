@@ -218,8 +218,11 @@ def test_esrnet_missing_eval_dirs_skip(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "skipping the per-epoch valid NIQE eval" in out
     assert "skipping the per-epoch test NIQE eval" in out
-    assert os.path.exists(os.path.join("results", run_config.exp_name,
-                                       "g_last"))
+    # with no eval signal, g_best must still exist (last = best guess) —
+    # it is the GAN stage's default warm-start path
+    for name in ("g_last", "g_best"):
+        assert os.path.exists(os.path.join("results", run_config.exp_name,
+                                           name)), name
 
 
 def test_esrgan_trunk_content_backbone(tmp_path, monkeypatch, capsys):

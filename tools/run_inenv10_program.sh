@@ -53,6 +53,8 @@ fi
 note "stage 1: ESRNet from scratch on InEnv10 (elastic resume auto)"
 timeout 14400 python train_realesrnet.py \
     --train-dir data/InEnv10/train --valid-dir data/InEnv10/valid \
+    --test-lr-dir data/InEnv10/eval/LRbicx4 \
+    --test-hr-dir data/InEnv10/eval/GTmod4 \
     --exp-name RealESRNet_inenv10 \
     --resume auto --epochs 700 --batch-size 16 \
     --checkpoint-frequency 25 --no-tensorboard \
@@ -71,6 +73,8 @@ python scripts/snapshot_weights.py --checkpoint results/RealESRNet_inenv10/g_bes
 note "stage 2: GAN with trunk-feature content loss"
 timeout 10800 python train_realesrgan.py \
     --train-dir data/InEnv10/train --valid-dir data/InEnv10/valid \
+    --test-lr-dir data/InEnv10/eval/LRbicx4 \
+    --test-hr-dir data/InEnv10/eval/GTmod4 \
     --exp-name RealESRGAN_inenv10 \
     --resume results/RealESRNet_inenv10/g_best --content-backbone trunk \
     --epochs 100 --batch-size 16 --checkpoint-frequency 20 --no-tensorboard \

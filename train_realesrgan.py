@@ -315,18 +315,24 @@ def main(args) -> None:
             continue  # the NIQE would be discarded: skip the eval entirely
 
         ema_host = jax.device_get(state.g_ema)
-        if valid_ds:
-            validate(eval_fn, ema_host, valid_ds, niqe_model, "Valid", epoch,
-                     writer, scale=model_cfg.upscale_factor)
-        niqe = (validate(eval_fn, ema_host, test_ds, niqe_model, "Test", epoch,
-                         writer, scale=model_cfg.upscale_factor)
-                if test_ds else 100.0)
+        valid_niqe = (validate(eval_fn, ema_host, valid_ds, niqe_model,
+                               "Valid", epoch, writer,
+                               scale=model_cfg.upscale_factor)
+                      if valid_ds else None)
+        test_niqe = (validate(eval_fn, ema_host, test_ds, niqe_model, "Test",
+                              epoch, writer, scale=model_cfg.upscale_factor)
+                     if test_ds else None)
         print("")
 
         if not saving:
             continue
-        is_best = niqe < best_niqe
-        best_niqe = min(niqe, best_niqe)
+        # best tracking: test-set NIQE, falling back to valid NIQE; with NO
+        # eval set every saving epoch refreshes g_best/d_best (last = best
+        # guess) so downstream consumers always find them.
+        signal = test_niqe if test_niqe is not None else valid_niqe
+        is_best = signal < best_niqe if signal is not None else True
+        if signal is not None:
+            best_niqe = min(signal, best_niqe)
 
         g_payload = {"epoch": epoch + 1, "best_niqe": best_niqe,
                      "step": state.step,
