@@ -3,6 +3,10 @@ main() run with a tiny generator and produce their documented outputs.
 (Reference CLIs: /root/reference/inference.py, test.py.)
 """
 
+import pytest
+
+pytestmark = pytest.mark.heavy
+
 import argparse
 import os
 
@@ -66,3 +70,36 @@ def test_testpy_main_reports_niqe(tmp_path, monkeypatch):
     for name in ("a.png", "b.png"):
         out = cv2.imread(str(tmp_path / "sr" / name))
         assert out is not None and out.shape == (384, 384, 3)
+
+
+def test_testpy_hr_dir_reports_psnr(tmp_path, monkeypatch, capsys):
+    """--hr_dir is live: same-named correctly-shaped GTs yield a PSNR summary
+    line, while the NIQE-only default final line is preserved (reference
+    test.py:93-95 parity — the reference accepts --hr_dir but ignores it)."""
+    import functools
+
+    import test as eval_cli
+    from real_esrgan_tpu.metrics.niqe import DEFAULT_MODEL_PATH
+    from real_esrgan_tpu.serve import SRPipeline
+
+    monkeypatch.setattr(eval_cli, "SRPipeline",
+                        functools.partial(SRPipeline, num_rrdb=1))
+
+    lr_dir, hr_dir = tmp_path / "lr", tmp_path / "hr"
+    lr_dir.mkdir(); hr_dir.mkdir()
+    src = cv2.imread(TREE_LR)
+    lr = src[:96, :96]
+    cv2.imwrite(str(lr_dir / "a.png"), lr)
+    cv2.imwrite(str(hr_dir / "a.png"),
+                cv2.resize(lr, (384, 384), interpolation=cv2.INTER_CUBIC))
+
+    args = argparse.Namespace(
+        lr_dir=str(lr_dir), sr_dir=str(tmp_path / "sr"), hr_dir=str(hr_dir),
+        model_path="", niqe_model_path=DEFAULT_MODEL_PATH,
+        upscale_factor=4, bfloat16=False)
+    eval_cli.main(args)
+    out = capsys.readouterr().out
+    assert "NIQE:" in out  # reference-parity final line still present
+    assert "PSNR:" in out and "(1 pairs)" in out
+    psnr = float(out.split("PSNR:")[-1].split("dB")[0])
+    assert 0 < psnr < 99.0

@@ -1,6 +1,10 @@
 """GAN trainer smoke test: fused G+D step runs on the 8-device CPU mesh,
 both networks learn, spectral-norm state updates, EMA tracks G."""
 
+import pytest
+
+pytestmark = pytest.mark.heavy
+
 import jax
 import jax.numpy as jnp
 import numpy as np

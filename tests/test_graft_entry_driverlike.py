@@ -19,6 +19,10 @@ as the first act — device binding is never an import side effect; reference
 point: the reference binds its device exactly once, config.py:68).
 """
 
+import pytest
+
+pytestmark = pytest.mark.heavy
+
 import os
 import subprocess
 import sys

@@ -11,6 +11,9 @@ import argparse
 import os
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy
 
 import config as run_config
 from real_esrgan_tpu.configuration import (
