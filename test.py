@@ -40,6 +40,12 @@ def main(args) -> float:
 
     os.makedirs(args.sr_dir, exist_ok=True)
     niqe_meter = AverageMeter("NIQE", "4.2f")
+    # --hr_dir is live (not a carried-over quirk): when the directory holds a
+    # same-named ground truth, mean PSNR is reported alongside NIQE.  The
+    # reference accepts the flag but never reads it (reference test.py is
+    # NIQE-only); this repo has a pair eval (scripts/eval_pair.py), so the
+    # flag silently doing nothing would be a trap.
+    psnr_meter = AverageMeter("PSNR", "5.2f")
 
     files = natsorted_files(args.lr_dir)
     if not files:
@@ -54,11 +60,28 @@ def main(args) -> float:
 
         score = float(niqe_model(sr_np)[0])
         niqe_meter.update(score, 1)
-        print(f"[{index + 1}/{len(files)}] {os.path.basename(path)}  "
-              f"NIQE {score:4.2f}")
+        line = (f"[{index + 1}/{len(files)}] {os.path.basename(path)}  "
+                f"NIQE {score:4.2f}")
+
+        hr_path = os.path.join(args.hr_dir or "", os.path.basename(path))
+        if args.hr_dir and os.path.exists(hr_path):
+            hr = load_image_rgb(hr_path)
+            if hr.shape == sr_np[0].shape:
+                mse = float(np.mean(
+                    (sr_np[0].astype(np.float64) - hr) ** 2))
+                psnr = 10 * np.log10(1.0 / mse) if mse > 0 else 99.0
+                psnr_meter.update(psnr, 1)
+                line += f"  PSNR {psnr:5.2f} dB"
+            else:
+                line += f"  PSNR n/a (GT shape {hr.shape} != {sr_np[0].shape})"
+        print(line)
 
     avg = min(niqe_meter.avg, 100.0)
+    # NIQE-only default final line (reference test.py:93-95 parity); the PSNR
+    # summary is additive and only appears when ground truths were found.
     print(f"NIQE: {avg:4.2f} 100u")
+    if psnr_meter.count:
+        print(f"PSNR: {psnr_meter.avg:5.2f} dB ({psnr_meter.count} pairs)")
     return avg
 
 
