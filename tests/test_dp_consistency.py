@@ -1,18 +1,26 @@
 """Data-parallel correctness: a train step over the 8-device sharded batch
 must produce the same updated parameters as the same step with the batch on
-one device — the mesh only changes WHERE the math runs, not the math."""
+one device — the mesh only changes WHERE the math runs, not the math.
+
+Covers BOTH trainers: the ESRNet step and the fused GAN step (two
+optimizers, spectral-norm ``batch_stats`` threading through the 3-forward
+cadence — reference train_realesrgan.py:473-517)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from real_esrgan_tpu.configuration import (
-    DegradationConfig, KernelSynthesisConfig, ModelConfig, PipelineGeometry,
-    TrainConfig,
+    DegradationConfig, GanTrainConfig, KernelSynthesisConfig, ModelConfig,
+    PipelineGeometry, TrainConfig,
 )
 from real_esrgan_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
 from real_esrgan_tpu.train.esrnet import (
     build_generator, build_optimizer, init_state, make_train_step,
+)
+from real_esrgan_tpu.train.esrgan import (
+    build_models, build_optimizers, init_gan_state, make_gan_train_step,
 )
 
 GEO = PipelineGeometry(hr_size=64, crop_size=32, scale=4)
@@ -45,3 +53,46 @@ def test_sharded_step_matches_single_device():
             jax.tree_util.tree_flatten_with_path(p_sharded)[0],
             jax.tree_util.tree_flatten_with_path(p_single)[0]):
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=str(ka))
+
+
+GAN_GEO = PipelineGeometry(hr_size=64, crop_size=64, scale=4)
+GAN_CFG = GanTrainConfig(batch_size=8, use_bfloat16=False, remat_rrdb=False)
+
+
+def _run_gan_step(shard: bool):
+    mesh = make_mesh()
+    generator, discriminator, vgg = build_models(MODEL, GAN_CFG)
+    g_tx, d_tx = build_optimizers(GAN_CFG, steps_per_epoch=10)
+    state = init_gan_state(jax.random.PRNGKey(0), generator, discriminator,
+                           g_tx, d_tx, GAN_GEO)
+    vgg_params = vgg.init(jax.random.PRNGKey(3),
+                          jnp.zeros((1, 64, 64, 3)))["params"]
+    step_fn = make_gan_train_step(generator, discriminator, vgg, vgg_params,
+                                  g_tx, d_tx, GAN_GEO, KernelSynthesisConfig(),
+                                  DegradationConfig(usm_radius=13), GAN_CFG)
+    hr = (np.random.default_rng(5).random((8, 64, 64, 3)) * 255).astype(np.uint8)
+    if shard:
+        state = jax.device_put(state, replicated_sharding(mesh))
+        hr = jax.device_put(hr, batch_sharding(mesh))
+    else:
+        hr = jax.device_put(jnp.asarray(hr), jax.devices()[0])
+    state, metrics = step_fn(state, hr, jax.random.PRNGKey(11))
+    return (jax.device_get({"g": state.g_params, "d": state.d_params,
+                            "d_stats": state.d_stats}),
+            {k: float(metrics[k]) for k in ("g_loss", "d_loss")})
+
+
+@pytest.mark.heavy
+def test_gan_sharded_step_matches_single_device():
+    """8-device sharded GAN step == single-device GAN step: g/d params,
+    spectral-norm power-iteration state, and both losses (VERDICT r3 #2).
+    The mesh must not change the 3-forward SN cadence or either Adam."""
+    t_sharded, losses_sharded = _run_gan_step(shard=True)
+    t_single, losses_single = _run_gan_step(shard=False)
+    for k in losses_sharded:
+        assert abs(losses_sharded[k] - losses_single[k]) < 1e-5, (
+            k, losses_sharded[k], losses_single[k])
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(t_sharded)[0],
+            jax.tree_util.tree_flatten_with_path(t_single)[0]):
+        np.testing.assert_allclose(a, b, atol=2e-5, err_msg=str(ka))
