@@ -45,6 +45,51 @@ import numpy as np
 
 A100_BASELINE_MP_PER_S = 10.0
 
+# bf16 dense peak per chip kind (TF/s), for the peak_fraction key.  Longest
+# prefix wins ("TPU v5 lite" before "TPU v5").  Sources: public TPU specs
+# (v5e 197, v5p 459, v4 275, v6e/Trillium 918 bf16 TFLOP/s per chip).
+_PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v5": 459.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6": 918.0,
+}
+
+# mode -> counted FLOPs per output unit (per MP for inference/tiled, per
+# image for train/gan), measured from the compiled HLO of the exact program
+# being timed (XLA cost analysis).  Filled by the measure_* functions so the
+# bench JSON itself can say "this rate IS the compute ceiling" instead of
+# only vs_baseline against an estimated denominator.
+_FLOPS_PER_UNIT: dict = {}
+
+
+def _chip_peak_tflops() -> float | None:
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        return None
+    for prefix in sorted(_PEAK_TFLOPS, key=len, reverse=True):
+        if kind.startswith(prefix):
+            return _PEAK_TFLOPS[prefix]
+    return None
+
+
+def _record_flops(mode: str, jitted, per_units: float, *args) -> None:
+    """Record counted-FLOPs-per-unit for ``mode`` from the compiled HLO of
+    the jitted program being timed.  Best-effort: cost analysis may be
+    unavailable on some backends (then the JSON simply omits the keys)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+        if flops > 0:
+            _FLOPS_PER_UNIT[mode] = flops / per_units
+    except Exception:
+        pass
+
 
 def _resize_flags(iters: int, dcfg, mix: bool = True) -> list:
     """Host-drawn per-batch resize-upscale coins (the trainers' realistic
@@ -81,6 +126,10 @@ def measure(batch: int, lr_size: int, iters: int) -> float:
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, lr_size, lr_size, 3)), jnp.float32)
 
+    out_mp_per_call = batch * (lr_size * 4) ** 2 / 1e6
+    _record_flops("inference",
+                  jax.jit(lambda p, v: model.apply({"params": p}, v)),
+                  out_mp_per_call, params, x)
     float(chained(params, x, 1)[0, 0, 0, 0])  # compile + warmup
     t0 = time.perf_counter()
     float(chained(params, x, iters)[0, 0, 0, 0])
@@ -120,6 +169,7 @@ def measure_train(batch: int, iters: int, mix: bool = True) -> float:
 
     dcfg = DegradationConfig()
     flags = _resize_flags(iters, dcfg, mix)
+    _record_flops("train", step_fn, batch, state, hr, key, False, False)
     for combo in sorted(set(flags)):               # compile every combo
         state, metrics = step_fn(state, hr, key, *combo)
     float(metrics["loss"])
@@ -158,6 +208,7 @@ def measure_gan(batch: int, iters: int, mix: bool = True) -> float:
     hr = jnp.asarray((rng.random((batch, 400, 400, 3)) * 255).astype(np.uint8))
     key = jrandom.PRNGKey(1)
     flags = _resize_flags(iters, DegradationConfig(), mix)
+    _record_flops("gan", step_fn, batch, state, hr, key, False, False)
     for combo in sorted(set(flags)):               # compile every combo
         state, m = step_fn(state, hr, key, *combo)
     float(m["g_loss"])
@@ -200,6 +251,7 @@ def measure_tiled(iters: int, in_size: int = 2048, tile: int = 272,
     padded = jnp.asarray(rng.random(
         (in_size + pad, in_size + pad, 3)).astype(np.float32))
 
+    _record_flops("tiled", fn, (in_size * 4) ** 2 / 1e6, params, padded)
     out = fn(params, padded)  # compile + warmup
     assert out.shape[0] == ny * core * 4
     float(jnp.mean(out[:8, :8]))
@@ -231,6 +283,18 @@ def _line(mode: str, metric: str, value: float, unit: str, **extra) -> dict:
     denom, note = _BASELINES[mode]
     out = {"metric": metric, "value": round(value, 3), "unit": unit,
            "vs_baseline": round(value / denom, 3), "baseline_note": note}
+    # Driver-legible ceiling evidence: effective TF/s from counted FLOPs of
+    # the exact compiled program, and the fraction of the chip's bf16 peak.
+    # (The measured XLA conv ceiling for this architecture's 64/32-wide
+    # shapes is ~46-52 TF/s — see docs/ROADMAP.md — so peak_fraction ~0.25
+    # at the flagship rate IS the compiler ceiling, not headroom.)
+    if mode in _FLOPS_PER_UNIT:
+        eff = value * _FLOPS_PER_UNIT[mode] / 1e12
+        out["effective_tflops"] = round(eff, 2)
+        peak = _chip_peak_tflops()
+        if peak:
+            out["peak_fraction"] = round(eff / peak, 4)
+            out["chip_peak_tflops"] = peak
     out.update(extra)
     return out
 

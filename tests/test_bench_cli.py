@@ -70,3 +70,32 @@ def test_single_mode_one_line(stubbed, monkeypatch, capsys):
     parsed = [json.loads(l) for l in lines if l.startswith("{")]
     assert len(parsed) == 1
     assert parsed[0]["metric"] == "x4_train_images_per_sec_per_chip"
+
+
+def test_lines_carry_ceiling_keys_when_flops_recorded(
+        stubbed, monkeypatch, capsys):
+    """When counted FLOPs are available, every line carries effective_tflops
+    and (with a known chip) peak_fraction — the driver-legible ceiling case
+    (VERDICT r3 next-step #3)."""
+    monkeypatch.setattr(bench, "_chip_peak_tflops", lambda: 197.0)
+    monkeypatch.setitem(bench._FLOPS_PER_UNIT, "inference", 2.24e12)
+    lines = _run(monkeypatch, capsys, ["--mode", "inference"])
+    line = json.loads(lines[-1])
+    assert line["effective_tflops"] == round(20.0 * 2.24, 2)
+    assert line["peak_fraction"] == round(20.0 * 2.24 / 197.0, 4)
+    assert line["chip_peak_tflops"] == 197.0
+
+
+def test_record_flops_from_compiled_hlo():
+    """_record_flops measures the compiled program's counted FLOPs (here a
+    known 8x8x8 matmul: 2*8^3 = 1024 flops per unit)."""
+    import jax
+    import jax.numpy as jnp
+
+    bench._FLOPS_PER_UNIT.pop("inference", None)
+    a = jnp.ones((8, 8), jnp.float32)
+    bench._record_flops("inference", jax.jit(lambda x, y: x @ y), 1.0, a, a)
+    try:
+        assert bench._FLOPS_PER_UNIT["inference"] == 1024.0
+    finally:
+        bench._FLOPS_PER_UNIT.pop("inference", None)

@@ -173,6 +173,7 @@ def bench_mosaic_mm_vmem(m: int, k: int, n: int, iters: int, reps: int = 32):
     tf = 2 * m * k * n * reps / dt / 1e12
     print(f"mosaic mm-vmem ({m}x{k})@({k}x{n}) reps={reps}: "
           f"{dt*1e3:7.3f} ms  {tf:6.1f} TF/s")
+    return tf
 
 
 def xla_conv(x, w):
@@ -202,7 +203,33 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--mm", action="store_true",
                    help="only run the pure Mosaic matmul probes")
+    p.add_argument("--gate", action="store_true",
+                   help="one-command toolchain re-probe (docs/ROADMAP.md): "
+                        "measures Mosaic mm-vmem at the fused-RDB shapes and "
+                        "prints a JSON verdict; if it ever exceeds the "
+                        "threshold, the parked fused-RDB kernel design "
+                        "unparks (round-3 measurement: ~48 TF/s, 4x below "
+                        "the XLA conv path at these shapes)")
+    p.add_argument("--gate-threshold", type=float, default=100.0)
     a = p.parse_args()
+
+    if a.gate:
+        import json
+
+        # The two shapes that dominate a fused-RDB dot chain: the 5-conv
+        # dense-growth matmul (k=192) and the source-packed wide one (k=576).
+        tfs = [bench_mosaic_mm_vmem(8192, 192, 192, a.iters),
+               bench_mosaic_mm_vmem(8192, 576, 192, a.iters)]
+        best = max(tfs)
+        unparked = best >= a.gate_threshold
+        print(json.dumps({
+            "gate": "mosaic_mm_vmem_tflops", "value": round(best, 1),
+            "threshold": a.gate_threshold, "unparked": unparked,
+            "note": ("fused-RDB pallas design UNPARKS: Mosaic matmul codegen "
+                     "now competitive — revisit ops/pallas_rdb.py"
+                     if unparked else
+                     "parked: XLA conv path remains the ceiling")}))
+        return
 
     if a.mm:
         for m, k_n in ((8192, (192, 192)), (8192, (576, 192)),
