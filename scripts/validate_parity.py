@@ -82,10 +82,94 @@ def pixel_match(pipeline, lr_dir: str, ref_sr_dir: str) -> float:
     return worst
 
 
+def mean_pair_psnr(pipeline, lr_dir: str, hr_dir: str) -> tuple:
+    """(mean PSNR dB, n) over same-named (LR, HR) pairs — the in-env quality
+    harness: the exact SR loop that will one day score Set5/Set14 runs
+    against the recorded InEnv10 baselines every round."""
+    import numpy as np
+
+    from real_esrgan_tpu.utils.imgio import load_image_rgb, natsorted_files
+
+    psnrs = []
+    for path in natsorted_files(lr_dir):
+        hr_path = os.path.join(hr_dir, os.path.basename(path))
+        if not os.path.exists(hr_path):
+            continue
+        sr = pipeline.upscale(load_image_rgb(path))
+        hr = load_image_rgb(hr_path)
+        if sr.shape != hr.shape:
+            raise ValueError(f"{path}: SR {sr.shape} vs HR {hr.shape}")
+        mse = float(np.mean((sr.astype(np.float64) - hr) ** 2))
+        psnrs.append(10 * np.log10(1.0 / mse) if mse > 0 else 99.0)
+    if not psnrs:
+        raise FileNotFoundError(f"no (LR, HR) pairs under {lr_dir} / {hr_dir}")
+    return float(np.mean(psnrs)), len(psnrs)
+
+
+def run_inenv(a) -> int:
+    """--inenv: score a trained checkpoint against the InEnv10 held-out sets
+    and the recorded no-model baselines (docs/inenv10_baselines.json).  The
+    blind task is the degraded-LR set: PASS iff the model beats the bicubic
+    PSNR there.  The clean-bicubic set is reported informationally (blind-SR
+    models are expected to LOSE to bicubic on clean LR — that is why the
+    reference's blind eval is NIQE-only, reference README.md:82-85)."""
+    from real_esrgan_tpu.metrics.niqe import NIQE
+    from real_esrgan_tpu.serve import SRPipeline
+    from real_esrgan_tpu.train.checkpoint import load_generator_params
+
+    with open(a.inenv_baselines) as f:
+        baselines = json.load(f)
+
+    if not os.path.exists(a.weights):
+        print(f"FAIL: weights not found: {a.weights}")
+        return 1
+    pipeline = SRPipeline(num_rrdb=a.num_rrdb,
+                          upscale_factor=a.upscale_factor, bfloat16=not a.cpu)
+    pipeline.params = load_generator_params(a.weights, prefer_ema=True)
+
+    checks = []
+    deg = baselines["degraded_lr"]
+    psnr, n = mean_pair_psnr(pipeline, deg["lr_dir"], deg["hr_dir"])
+    ok = psnr > deg["psnr_mean"]
+    checks.append({"check": "inenv_degraded_psnr", "value": round(psnr, 3),
+                   "baseline_bicubic": deg["psnr_mean"], "n": n, "ok": ok})
+    print(f"InEnv10 degraded-LR (blind task): PSNR {psnr:.3f} dB over {n} "
+          f"tiles vs bicubic {deg['psnr_mean']:.3f} dB -> "
+          f"{'PASS' if ok else 'FAIL'}")
+
+    clean = baselines["clean_bicubic_lr"]
+    cpsnr, cn = mean_pair_psnr(pipeline, clean["lr_dir"], clean["hr_dir"])
+    niqe_model = NIQE(crop_border=a.upscale_factor)
+    cniqe = mean_niqe(pipeline, niqe_model, clean["lr_dir"])
+    checks.append({"check": "inenv_clean_informational", "psnr": round(cpsnr, 3),
+                   "niqe": round(cniqe, 3), "baseline_psnr": clean["psnr_mean"],
+                   "baseline_niqe": clean["niqe_mean"], "n": cn, "ok": True,
+                   "note": "informational: blind-SR loses to bicubic on clean LR"})
+    print(f"InEnv10 clean-LR (informational): PSNR {cpsnr:.3f} dB / NIQE "
+          f"{cniqe:.3f} vs bicubic {clean['psnr_mean']:.3f} dB / "
+          f"{clean['niqe_mean']}")
+
+    verdict = {"parity": all(c["ok"] for c in checks), "mode": "inenv",
+               "weights": a.weights, "checks": checks}
+    line = json.dumps(verdict)
+    print(line)
+    if a.report:
+        with open(a.report, "w") as f:
+            f.write(line + "\n")
+    return 0 if verdict["parity"] else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("--weights", required=True,
-                   help="generator weights (.pth.tar or Orbax dir)")
+    p.add_argument("--weights", default="",
+                   help="generator weights (.pth.tar, Orbax dir, or .npz)")
+    p.add_argument("--inenv", action="store_true",
+                   help="score --weights (default: the InEnv10 stage-1 "
+                        "g_best) against the InEnv10 held-out sets and the "
+                        "recorded baselines JSON instead of the published "
+                        "Set5/Set14 table — a REAL quality run for the "
+                        "parity harness every round")
+    p.add_argument("--inenv-baselines", default="docs/inenv10_baselines.json")
     p.add_argument("--model", choices=sorted(PUBLISHED), default="realesrgan",
                    help="which published row to compare against")
     p.add_argument("--set5-lr", default="", help="Set5 LRbicx4 directory")
@@ -109,6 +193,12 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if a.inenv:
+        a.weights = a.weights or "results/RealESRNet_inenv10/g_best"
+        return run_inenv(a)
+    if not a.weights:
+        p.error("--weights is required (except in --inenv mode)")
 
     from real_esrgan_tpu.metrics.niqe import NIQE
     from real_esrgan_tpu.serve import SRPipeline
