@@ -199,6 +199,19 @@ class TrainConfig:
     # jax.checkpoint each RRDB block during training to bound activation HBM
     remat_rrdb: bool = True
 
+    # Optimizer hygiene (deviation from the reference, which has neither —
+    # and whose long runs depend on it not mattering).  A measured failure
+    # motivates both knobs: one gradient-overflow step makes Adam's second
+    # moment inf FOREVER (nu = b2*nu + (1-b2)*g^2 never decays an inf), so
+    # every later update is exactly zero and the run silently trains a frozen
+    # model.  grad_clip_norm bounds what reaches Adam (0 disables);
+    # skip_nonfinite_updates wraps the optimizer in optax.apply_if_finite so
+    # an inf/NaN gradient costs one skipped step instead of the whole run.
+    # 100 sits far above the measured healthy band (global norms 5-50 over a
+    # fresh-init run on InEnv10) so only genuine spikes are touched.
+    grad_clip_norm: float = 100.0
+    skip_nonfinite_updates: bool = True
+
 
 @dataclasses.dataclass(frozen=True)
 class GanTrainConfig(TrainConfig):

@@ -37,6 +37,7 @@ from real_esrgan_tpu.models.vgg import VGG19Features, normalize_imagenet
 from real_esrgan_tpu.models.ema import ema_init
 from real_esrgan_tpu.ops.degradation import degrade
 from real_esrgan_tpu.ops.usm import gaussian_kernel_1d, usm_sharpen
+from real_esrgan_tpu.train.esrnet import harden_optimizer
 from real_esrgan_tpu.train.schedule import multistep_lr
 
 
@@ -66,8 +67,10 @@ def build_models(model_cfg: ModelConfig, cfg: GanTrainConfig):
 def build_optimizers(cfg: GanTrainConfig, steps_per_epoch: int):
     schedule = multistep_lr(cfg.lr, cfg.effective_lr_milestones, cfg.lr_gamma,
                             steps_per_epoch)
-    g_tx = optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1])
-    d_tx = optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1])
+    g_tx = harden_optimizer(
+        optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1]), cfg)
+    d_tx = harden_optimizer(
+        optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1]), cfg)
     return g_tx, d_tx
 
 
@@ -167,7 +170,10 @@ def make_gan_train_step(generator, discriminator, vgg, vgg_params,
         new_state = GanTrainState(step=state.step + 1, g_params=g_params,
                                   g_ema=g_ema, g_opt=g_opt, d_params=d_params,
                                   d_stats=d_stats, d_opt=d_opt)
-        return new_state, {**g_aux, **d_aux}
+        # pre-clip global norms: the explosion telltales (see harden_optimizer)
+        return new_state, {**g_aux, **d_aux,
+                           "g_grad_norm": optax.global_norm(g_grads),
+                           "d_grad_norm": optax.global_norm(d_grads)}
 
     jitted = jax.jit(train_step, static_argnums=(3, 4), donate_argnums=(0,))
 

@@ -50,10 +50,39 @@ def build_generator(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Generator
 
 def build_optimizer(train_cfg: TrainConfig, steps_per_epoch: int):
     """Adam(lr, betas=(0.9, 0.99)) + StepLR, as the reference
-    (train_realesrnet.py:197-206)."""
+    (train_realesrnet.py:197-206) — hardened with global-norm clipping and
+    skip-on-nonfinite (see TrainConfig.grad_clip_norm for the failure this
+    prevents)."""
     schedule = step_lr(train_cfg.lr, train_cfg.effective_lr_step_size, train_cfg.lr_gamma,
                        steps_per_epoch)
-    return optax.adam(schedule, b1=train_cfg.betas[0], b2=train_cfg.betas[1])
+    adam = optax.adam(schedule, b1=train_cfg.betas[0], b2=train_cfg.betas[1])
+    return harden_optimizer(adam, train_cfg)
+
+
+def harden_optimizer(tx, train_cfg: TrainConfig):
+    """Clip gradients to a global norm, then refuse non-finite updates.
+
+    apply_if_finite is outermost so it vets the raw gradients and skips the
+    whole chained update on inf/NaN; clipping inside it additionally protects
+    Adam from finite-but-huge gradients (whose squared global norm overflows
+    to inf, making the clip scale 0 — a safe zero update).
+    """
+    if train_cfg.grad_clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(train_cfg.grad_clip_norm), tx)
+    if train_cfg.skip_nonfinite_updates:
+        # After max_consecutive_errors optax "gives up and accepts" the raw
+        # non-finite update — which is precisely the poisoning this guard
+        # exists to prevent — so the limit is effectively infinite.  The
+        # trainers surface stuck runs instead: every print window with a
+        # non-finite grad norm logs a WARNING with the skipped-step count.
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=2**31 - 1)
+    return tx
+
+
+def notfinite_count(opt_state) -> int:
+    """Total gradient steps skipped as non-finite (0 when the optimizer is
+    not wrapped in apply_if_finite)."""
+    return int(getattr(opt_state, "total_notfinite", 0))
 
 
 def init_state(key: jax.Array, model: Generator, tx,
@@ -87,7 +116,9 @@ def make_train_step(model: Generator, tx, geo: PipelineGeometry,
 
         new_state = TrainState(step=state.step + 1, params=params,
                                ema_params=ema_params, opt_state=opt_state)
-        return new_state, {"loss": loss}
+        # grad_norm is the pre-clip global norm: the explosion telltale
+        # (inf here + an unchanged loss plateau = steps being skipped).
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
     jitted = jax.jit(train_step, static_argnums=(3, 4), donate_argnums=(0,))
 

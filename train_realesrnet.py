@@ -34,7 +34,7 @@ from real_esrgan_tpu.data import grain_loader
 from real_esrgan_tpu.train import checkpoint as ckpt_lib
 from real_esrgan_tpu.train.esrnet import (
     TrainState, build_generator, build_optimizer, init_state, make_eval_fn,
-    make_train_step,
+    make_train_step, notfinite_count,
 )
 from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
 
@@ -245,7 +245,9 @@ def main(args) -> None:
         batch_time = AverageMeter("Time", "6.3f")
         data_time = AverageMeter("Data", "6.3f")
         losses = AverageMeter("Loss", "6.6f")
-        progress = ProgressMeter(steps_per_epoch, [batch_time, data_time, losses],
+        gnorms = AverageMeter("GNorm", "6.3f")
+        progress = ProgressMeter(steps_per_epoch,
+                                 [batch_time, data_time, losses, gnorms],
                                  prefix=f"Epoch: [{epoch + 1}]")
         end = time.time()
         # per-batch resize-upscale coins, host-drawn like the reference's
@@ -257,7 +259,7 @@ def main(args) -> None:
         # the host fetches one window mean per print interval, so the epoch
         # average covers every iteration (reference train_realesrnet.py:397)
         # without a per-step device round-trip.
-        loss_window, window_n = None, 0
+        loss_window, gn_window, window_n = None, None, 0
         for batch_index, hr_uint8 in enumerate(prefetcher):
             data_time.update(time.time() - end)
             up1 = bool(coin_rng.random() < dcfg.resize_probs1[0])
@@ -265,11 +267,21 @@ def main(args) -> None:
             state, metrics = train_step(state, hr_uint8, key, up1, up2)
             loss_window = (metrics["loss"] if loss_window is None
                            else loss_window + metrics["loss"])
+            gn_window = (metrics["grad_norm"] if gn_window is None
+                         else gn_window + metrics["grad_norm"])
             window_n += 1
             if batch_index % cfg.print_frequency == 0:
                 loss = float(loss_window) / window_n  # sync point
+                gnorm = float(gn_window) / window_n
                 losses.update(loss, batch * window_n)
-                loss_window, window_n = None, 0
+                gnorms.update(gnorm, batch * window_n)
+                loss_window, gn_window, window_n = None, None, 0
+                if not np.isfinite(loss) or not np.isfinite(gnorm):
+                    print(f"WARNING: non-finite step in window (loss {loss}, "
+                          f"grad norm {gnorm}); "
+                          f"{notfinite_count(state.opt_state)} updates "
+                          "skipped so far — training continues on the last "
+                          "finite state.", flush=True)
                 if writer is not None:
                     writer.add_scalar("Train/Loss", loss,
                                       batch_index + epoch * steps_per_epoch + 1)
@@ -314,6 +326,16 @@ def main(args) -> None:
         signal = test_niqe if test_niqe is not None else valid_niqe
         is_best = signal < best_niqe if signal is not None else True
         if signal is not None:
+            # divergence watchdog: a NIQE suddenly far above the best-so-far
+            # means the generator has collapsed; keep training (the hardened
+            # optimizer can recover) but say so loudly in the log.
+            if best_niqe < 100.0 and signal > max(3.0 * best_niqe,
+                                                  best_niqe + 30.0):
+                print(f"WARNING: eval NIQE {signal:.2f} is far above the best "
+                      f"{best_niqe:.2f} — the model may have diverged "
+                      f"({notfinite_count(state.opt_state)} non-finite updates "
+                      "skipped so far). Consider resuming from "
+                      f"results/{exp_name}/g_best.", flush=True)
             best_niqe = min(signal, best_niqe)
         payload = {
             "epoch": epoch + 1,
