@@ -219,8 +219,8 @@ def measure_gan(batch: int, iters: int, mix: bool = True) -> float:
     return batch * iters / (time.perf_counter() - t0)
 
 
-def measure_tiled(iters: int, in_size: int = 2048, tile: int = 272,
-                  tile_batch: int = 16, overlap: int = 8) -> float:
+def measure_tiled(iters: int, in_size: int = 2048, tile: int = 528,
+                  tile_batch: int = 8, overlap: int = 8) -> float:
     """2K -> 8K overlap-tile serving (BASELINE config 5): one on-device
     lax.map over sharded tile batches per call; the whole 67 MP output is
     produced on device and only a scalar checksum is fetched.  (On this

@@ -93,10 +93,10 @@ if __name__ == "__main__":
                         help="Run the trunk in bfloat16 (faster on TPU).")
     parser.add_argument("--tile", type=int, default=0,
                         help="Tile size for overlap-tile large-image serving "
-                             "(0 = whole image in one forward; 272 is the "
+                             "(0 = whole image in one forward; 528 is the "
                              "measured-best tile, see parallel/tiling.py).")
     parser.add_argument("--tile_overlap", type=int, default=8)
-    parser.add_argument("--tile_batch", type=int, default=16)
+    parser.add_argument("--tile_batch", type=int, default=8)
     parser.add_argument("--cpu", action="store_true",
                         help="Force the CPU backend (no TPU required).")
     main(parser.parse_args())

@@ -75,8 +75,8 @@ def _build_tiled_fn(apply_fn: Callable, ny: int, nx: int, tile: int,
 
 
 def tiled_upscale(apply_fn: Callable, params, image: np.ndarray,
-                  scale: int = 4, tile: int = 272, overlap: int = 8,
-                  tile_batch: int = 16, mesh=None) -> np.ndarray:
+                  scale: int = 4, tile: int = 528, overlap: int = 8,
+                  tile_batch: int = 8, mesh=None) -> np.ndarray:
     """x``scale`` upscale of one (H, W, 3) image via batched overlap tiles.
 
     Args:
@@ -87,13 +87,19 @@ def tiled_upscale(apply_fn: Callable, params, image: np.ndarray,
         tile_batch: tiles per device batch (static).
         mesh: optional device mesh; tile batches are sharded over it.
 
-    Default geometry (272/8/16, core 256): measured 17.4 MP/s 2K->8K vs
-    11.99 for the round-2 default (256/16/8) — the core divides 2048 so
-    canvas/tail waste vanish and the halo keeps 88.6% of compute useful.
-    An overlap-8 halo's interior seam error sits at the bf16 noise floor
-    (max 2/255, p99.9 1/255 — identical to overlap 16; tools/tile_sweep.py
-    --seam with trained weights); overlap 4 is marginal (max 7/255) and
-    overlap 2 visibly wrong (max 48/255).
+    Default geometry (528/8/8, core 512): measured 18.2 MP/s 2K->8K vs
+    17.4 for round 3's 272/8/16 and 11.99 for round 2's 256/16/8 — the core
+    divides 2048 (zero canvas/tail waste) and the thinner relative halo
+    keeps 94.0% of compute useful.  The per-stage breakdown (tile_sweep.py
+    --stages, r4) shows the residual vs flagship is essentially all halo
+    compute at the measured network ceiling: net-only throughput at these
+    shapes is 18.6 MP/s (19.7 with halo free — the flagship's own ~20
+    ceiling), gather+stitch adds only 2.1%.  Bigger tiles OOM: 1040/8 and
+    528-batch-16 blow the 16 GB HBM on the 2x-padded upsample conv
+    activations.  An overlap-8 halo's interior seam error sits at the bf16
+    noise floor (max 2/255, p99.9 1/255 — identical to overlap 16;
+    tools/tile_sweep.py --seam with trained weights); overlap 4 is marginal
+    (max 7/255) and overlap 2 visibly wrong (max 48/255).
     """
     if mesh is None:
         mesh = make_mesh()

@@ -30,9 +30,9 @@ class SRPipeline:
     def __init__(self, weights_path: str = "", upscale_factor: int = 4,
                  num_rrdb: int = 23, bfloat16: bool = True,
                  bucket: int = 32, tile_threshold: int = 512,
-                 tile: int = 272, tile_overlap: int = 8, tile_batch: int = 16,
+                 tile: int = 528, tile_overlap: int = 8, tile_batch: int = 8,
                  mesh=None):
-        # Tiling default 272/8/16: measured-best geometry; see
+        # Tiling default 528/8/8: measured-best geometry; see
         # parallel/tiling.py::tiled_upscale for the sweep evidence.
         self.scale = upscale_factor
         self.bucket = bucket

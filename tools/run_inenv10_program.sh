@@ -71,13 +71,15 @@ python scripts/snapshot_weights.py --checkpoint results/RealESRNet_inenv10/g_bes
     --output assets/inenv10_esrnet_ema.npz
 
 note "stage 2: GAN with trunk-feature content loss"
-timeout 10800 python train_realesrgan.py \
+# 70 epochs = 1,960 trunk-GAN steps (>= the 1.5k-step evidence target);
+# elastic resume can extend the run later if wall clock allows.
+timeout 9600 python train_realesrgan.py \
     --train-dir data/InEnv10/train --valid-dir data/InEnv10/valid \
     --test-lr-dir data/InEnv10/eval/LRbicx4 \
     --test-hr-dir data/InEnv10/eval/GTmod4 \
     --exp-name RealESRGAN_inenv10 \
     --resume results/RealESRNet_inenv10/g_best --content-backbone trunk \
-    --epochs 100 --batch-size 16 --checkpoint-frequency 20 --no-tensorboard \
+    --epochs 70 --batch-size 16 --checkpoint-frequency 14 --no-tensorboard \
     > /tmp/inenv10_s2.log 2>&1
 rc=$?
 note "stage 2 rc=$rc (log tail below)"; tail -3 /tmp/inenv10_s2.log

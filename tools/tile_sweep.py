@@ -42,6 +42,10 @@ import numpy as np
 # (tile, overlap, tile_batch) candidates.  272/8 and 264/4 have core sizes
 # (256) that divide 2048; 144/8 probes the small-tile regime (128px batches
 # measured 19.5 MP/s in the flagship sweep); 256/16 is the round-2 default.
+# Round-4 additions: core-512 tiles.  528/8/8 measured 18.2 MP/s (the new
+# default); 528/8/4 under-fills the chip (12.4); 528/8/16, 272/8/32 and
+# 1040/8/2 OOM the 16 GB HBM on the 2x-padded upsample conv temporaries
+# (bf16[4160,2,8,523,64]: 4.15 G unpadded -> 8.3 G padded).
 DEFAULT_COMBOS = (
     (256, 16, 8),    # round-2 default (the 12.0 MP/s configuration)
     (256, 16, 16),
@@ -50,6 +54,7 @@ DEFAULT_COMBOS = (
     (264, 4, 16),    # core 256, thinner halo
     (288, 16, 16),   # core 256, conservative halo
     (144, 8, 32),    # core 128: zero waste, small-tile regime
+    (528, 8, 8),     # core 512: round-4 default, 94.0% halo-useful
 )
 
 
@@ -102,6 +107,80 @@ def measure_geometry(apply_fn, params, in_size: int, tile: int, overlap: int,
             "compile_s": round(compile_s, 1)}
 
 
+def stage_breakdown(apply_fn, params, in_size: int, tile: int, overlap: int,
+                    tile_batch: int, iters: int) -> dict:
+    """Per-stage residual table for one geometry (VERDICT r3 #4).
+
+    Decomposes the tiled-vs-flagship gap into:
+      * halo compute — the network runs on ``tile^2`` pixels but only
+        ``core^2`` are kept: measured as ``raw_net_s`` (the same batched
+        forwards with NO gather/stitch, tiles pre-materialized) scaled by
+        ``useful_frac``;
+      * gather + stitch + dispatch — ``tiled_s - raw_net_s``: the vmapped
+        dynamic_slice tile gather, the on-device core stitch/transpose, and
+        the lax.map batch loop, i.e. everything tiling adds beyond running
+        the network.
+    Both programs end in a tiny mean fetch so relay timing is trustworthy
+    (chained compute + one scalar fetch, see bench.py docstring).
+    """
+    from real_esrgan_tpu.parallel import tiling
+    from real_esrgan_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh()
+    core = tile - 2 * overlap
+    ny = nx = math.ceil(in_size / core)
+    n_batches = math.ceil(ny * nx / tile_batch)
+    sharding = batch_sharding(mesh)
+
+    rng = np.random.default_rng(0)
+    pad = 2 * overlap + ny * core - in_size
+    padded = jnp.asarray(rng.random(
+        (in_size + pad, in_size + pad, 3)).astype(np.float32))
+    tiles = jnp.asarray(rng.random(
+        (tile_batch, tile, tile, 3)).astype(np.float32))
+
+    def raw_net(params, tiles):
+        # same batch count and shapes as the tiled program, no tiling stages
+        def body(carry, _):
+            # carry-dependent input so XLA cannot hoist the (otherwise
+            # loop-invariant) forward out of the scan and time one batch
+            x = tiles + carry * jnp.float32(1e-30)
+            if sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, sharding)
+            sr = apply_fn(params, x)
+            return carry + jnp.mean(sr, dtype=jnp.float32), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n_batches)
+        return acc
+
+    raw_fn = jax.jit(raw_net)
+    tiled_fn = tiling._build_tiled_fn(apply_fn, ny, nx, tile, overlap,
+                                      tile_batch, 4, n_batches, sharding)
+
+    def timed(fn, *args, reduce=lambda o: float(jnp.mean(o[:8, :8]))):
+        fn_out = fn(*args)  # compile
+        reduce(fn_out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            reduce(fn(*args))
+        return (time.perf_counter() - t0) / iters
+
+    raw_s = timed(raw_fn, params, tiles, reduce=float)
+    tiled_s = timed(tiled_fn, params, padded)
+
+    useful = (core / tile) ** 2 * (in_size / (ny * core)) ** 2 \
+        * (ny * nx) / (n_batches * tile_batch)
+    out_mp = (in_size * 4) ** 2 / 1e6
+    return {"tile": tile, "overlap": overlap, "tile_batch": tile_batch,
+            "useful_frac": round(useful, 3),
+            "raw_net_s": round(raw_s, 4),
+            "tiled_s": round(tiled_s, 4),
+            "gather_stitch_s": round(tiled_s - raw_s, 4),
+            "halo_compute_s": round(raw_s * (1 - useful), 4),
+            "tiled_mp_per_s": round(out_mp / tiled_s, 3),
+            "net_only_mp_per_s": round(out_mp / raw_s, 3),
+            "zero_overhead_mp_per_s": round(out_mp / (raw_s * useful), 3)}
+
+
 def seam_error(apply_fn, params, tile: int, overlap: int, tile_batch: int,
                in_size: int = 512) -> dict:
     """max/mean abs difference, tiled vs whole-image forward, on real pixels
@@ -144,6 +223,9 @@ def main() -> None:
                    help="checkpoint for realistic activations (seam check)")
     p.add_argument("--seam", action="store_true",
                    help="also score seam error vs whole-image at 512^2")
+    p.add_argument("--stages", action="store_true",
+                   help="per-stage residual table (halo compute vs "
+                        "gather/stitch) instead of the plain throughput row")
     p.add_argument("--combos", default="",
                    help="override: 'tile,ov,batch;tile,ov,batch;...'")
     p.add_argument("--num-rrdb", type=int, default=23,
@@ -157,6 +239,11 @@ def main() -> None:
 
     apply_fn, params = build_apply(a.weights or None, a.num_rrdb)
     for tile, ov, tb in combos:
+        if a.stages:
+            print(json.dumps(stage_breakdown(apply_fn, params, a.in_size,
+                                             tile, ov, tb, a.iters)),
+                  flush=True)
+            continue
         row = measure_geometry(apply_fn, params, a.in_size, tile, ov, tb,
                                a.iters)
         if a.seam:
