@@ -199,18 +199,25 @@ class TrainConfig:
     # jax.checkpoint each RRDB block during training to bound activation HBM
     remat_rrdb: bool = True
 
-    # Optimizer hygiene (deviation from the reference, which has neither —
-    # and whose long runs depend on it not mattering).  A measured failure
-    # motivates both knobs: one gradient-overflow step makes Adam's second
-    # moment inf FOREVER (nu = b2*nu + (1-b2)*g^2 never decays an inf), so
-    # every later update is exactly zero and the run silently trains a frozen
-    # model.  grad_clip_norm bounds what reaches Adam (0 disables);
-    # skip_nonfinite_updates wraps the optimizer in optax.apply_if_finite so
-    # an inf/NaN gradient costs one skipped step instead of the whole run.
-    # 100 sits far above the measured healthy band (global norms 5-50 over a
-    # fresh-init run on InEnv10) so only genuine spikes are touched.
+    # Optimizer hygiene (deviation from the reference, which has none — and
+    # whose long runs depend on divergence not happening).  Two measured
+    # failure modes motivate these knobs (full post-mortem in train/guard.py):
+    # (1) one gradient-overflow step makes raw Adam's second moment inf
+    # FOREVER, silently freezing the run; (2) the RRDB trunk can go
+    # super-critical (forward amplifies ~1e22 with params maxabs 0.19), after
+    # which merely SKIPPING bad updates freezes the run at the diverged
+    # weights.  grad_clip_norm bounds what finite gradients feed Adam (0
+    # disables).  skip_nonfinite_updates enables the step-level guard
+    # (train/guard.py): reject any update whose global grad norm is
+    # non-finite or above grad_reject_limit, and after rollback_after
+    # consecutive rejections restore params from the EMA (a ~1000-step-lagged
+    # healthy copy) and zero Adam's moments.  Limits sit far above the
+    # measured healthy band (global norms 5-50 on InEnv10) so only genuine
+    # divergence is touched.
     grad_clip_norm: float = 100.0
     skip_nonfinite_updates: bool = True
+    grad_reject_limit: float = 500.0
+    rollback_after: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

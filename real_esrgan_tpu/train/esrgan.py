@@ -38,6 +38,7 @@ from real_esrgan_tpu.models.ema import ema_init
 from real_esrgan_tpu.ops.degradation import degrade
 from real_esrgan_tpu.ops.usm import gaussian_kernel_1d, usm_sharpen
 from real_esrgan_tpu.train.esrnet import harden_optimizer
+from real_esrgan_tpu.train.guard import GuardState, guard_init, guarded_update
 from real_esrgan_tpu.train.schedule import multistep_lr
 
 
@@ -50,6 +51,8 @@ class GanTrainState:
     d_params: Any
     d_stats: Any
     d_opt: Any
+    g_guard: GuardState
+    d_guard: GuardState
 
 
 def build_models(model_cfg: ModelConfig, cfg: GanTrainConfig):
@@ -84,7 +87,8 @@ def init_gan_state(key: jax.Array, generator, discriminator, g_tx, d_tx,
         step=jnp.zeros((), jnp.int32),
         g_params=g_params, g_ema=ema_init(g_params), g_opt=g_tx.init(g_params),
         d_params=d_vars["params"], d_stats=d_vars["batch_stats"],
-        d_opt=d_tx.init(d_vars["params"]))
+        d_opt=d_tx.init(d_vars["params"]),
+        g_guard=guard_init(), d_guard=guard_init())
 
 
 def make_gan_train_step(generator, discriminator, vgg, vgg_params,
@@ -153,9 +157,17 @@ def make_gan_train_step(generator, discriminator, vgg, vgg_params,
         # ---- generator step (D frozen: grads only wrt g_params) ----
         (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.g_params, state.d_params, state.d_stats, lr_b, hr_b)
-        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
-        g_params = optax.apply_updates(state.g_params, g_updates)
-        g_ema = ema_update(state.g_ema, g_params, cfg.ema_decay)
+        if cfg.skip_nonfinite_updates:
+            g_params, g_ema, g_opt, g_guard, g_info = guarded_update(
+                g_tx, g_grads, state.g_opt, state.g_params, state.g_ema,
+                state.g_guard, reject_limit=cfg.grad_reject_limit,
+                rollback_after=cfg.rollback_after, ema_decay=cfg.ema_decay)
+        else:
+            g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+            g_params = optax.apply_updates(state.g_params, g_updates)
+            g_ema = ema_update(state.g_ema, g_params, cfg.ema_decay)
+            g_guard = state.g_guard
+            g_info = {"grad_norm": optax.global_norm(g_grads)}
 
         # ---- discriminator step on sr.detach() ----
         # chain the G-step's power-iteration advance into the D step
@@ -163,17 +175,28 @@ def make_gan_train_step(generator, discriminator, vgg, vgg_params,
         sr_detached = jax.lax.stop_gradient(g_aux.pop("sr"))
         (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params, d_stats_after_g, sr_detached, hr_b)
-        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+        if cfg.skip_nonfinite_updates:
+            # reject-only (rollback_after=0): D has no EMA to roll back to
+            d_params, _, d_opt, d_guard, d_info = guarded_update(
+                d_tx, d_grads, state.d_opt, state.d_params, state.d_params,
+                state.d_guard, reject_limit=cfg.grad_reject_limit,
+                rollback_after=0, ema_decay=cfg.ema_decay)
+        else:
+            d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+            d_params = optax.apply_updates(state.d_params, d_updates)
+            d_guard = state.d_guard
+            d_info = {"grad_norm": optax.global_norm(d_grads)}
         d_stats = d_aux.pop("d_stats")
 
         new_state = GanTrainState(step=state.step + 1, g_params=g_params,
                                   g_ema=g_ema, g_opt=g_opt, d_params=d_params,
-                                  d_stats=d_stats, d_opt=d_opt)
-        # pre-clip global norms: the explosion telltales (see harden_optimizer)
-        return new_state, {**g_aux, **d_aux,
-                           "g_grad_norm": optax.global_norm(g_grads),
-                           "d_grad_norm": optax.global_norm(d_grads)}
+                                  d_stats=d_stats, d_opt=d_opt,
+                                  g_guard=g_guard, d_guard=d_guard)
+        # pre-clip global norms: the explosion telltales (see train/guard.py)
+        metrics = {**g_aux, **d_aux}
+        metrics.update({f"g_{k}": v for k, v in g_info.items()})
+        metrics.update({f"d_{k}": v for k, v in d_info.items()})
+        return new_state, metrics
 
     jitted = jax.jit(train_step, static_argnums=(3, 4), donate_argnums=(0,))
 

@@ -24,6 +24,7 @@ from real_esrgan_tpu.configuration import (
 )
 from real_esrgan_tpu.models import Generator, ema_init, ema_update
 from real_esrgan_tpu.ops.degradation import degrade
+from real_esrgan_tpu.train.guard import GuardState, guard_init, guarded_update
 from real_esrgan_tpu.train.schedule import step_lr
 
 
@@ -33,6 +34,7 @@ class TrainState:
     params: Any
     ema_params: Any
     opt_state: Any
+    guard: GuardState
 
 
 def build_generator(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Generator:
@@ -60,29 +62,27 @@ def build_optimizer(train_cfg: TrainConfig, steps_per_epoch: int):
 
 
 def harden_optimizer(tx, train_cfg: TrainConfig):
-    """Clip gradients to a global norm, then refuse non-finite updates.
+    """Clip gradients to a global norm inside the optimizer chain.
 
-    apply_if_finite is outermost so it vets the raw gradients and skips the
-    whole chained update on inf/NaN; clipping inside it additionally protects
-    Adam from finite-but-huge gradients (whose squared global norm overflows
-    to inf, making the clip scale 0 — a safe zero update).
+    Non-finite and outlier gradients are handled OUTSIDE the chain, by the
+    step-level guard (train/guard.py: rejection + EMA rollback) — an
+    optimizer wrapper alone cannot recover from divergence, only freeze at
+    the diverged weights (see guard.py's post-mortem).  Clipping stays in
+    the chain to bound what finite, under-limit gradients feed Adam.
     """
     if train_cfg.grad_clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(train_cfg.grad_clip_norm), tx)
-    if train_cfg.skip_nonfinite_updates:
-        # After max_consecutive_errors optax "gives up and accepts" the raw
-        # non-finite update — which is precisely the poisoning this guard
-        # exists to prevent — so the limit is effectively infinite.  The
-        # trainers surface stuck runs instead: every print window with a
-        # non-finite grad norm logs a WARNING with the skipped-step count.
-        tx = optax.apply_if_finite(tx, max_consecutive_errors=2**31 - 1)
     return tx
 
 
-def notfinite_count(opt_state) -> int:
-    """Total gradient steps skipped as non-finite (0 when the optimizer is
-    not wrapped in apply_if_finite)."""
-    return int(getattr(opt_state, "total_notfinite", 0))
+def notfinite_count(guard: GuardState) -> int:
+    """Total gradient steps rejected (non-finite or over the reject limit)."""
+    return int(guard.rejected_total)
+
+
+def rollback_count(guard: GuardState) -> int:
+    """Total EMA rollbacks performed by the guard."""
+    return int(guard.rollback_total)
 
 
 def init_state(key: jax.Array, model: Generator, tx,
@@ -90,13 +90,20 @@ def init_state(key: jax.Array, model: Generator, tx,
     lr_crop = geo.lr_crop_size
     params = model.init(key, jnp.zeros((1, lr_crop, lr_crop, 3)))["params"]
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      ema_params=ema_init(params), opt_state=tx.init(params))
+                      ema_params=ema_init(params), opt_state=tx.init(params),
+                      guard=guard_init())
 
 
 def make_train_step(model: Generator, tx, geo: PipelineGeometry,
                     kcfg: KernelSynthesisConfig, dcfg: DegradationConfig,
-                    ema_decay: float) -> Callable:
-    """Returns jitted (state, hr_uint8, key) -> (state, metrics)."""
+                    ema_decay: float, *, reject_limit: float = 500.0,
+                    rollback_after: int = 4,
+                    guard_updates: bool = True) -> Callable:
+    """Returns jitted (state, hr_uint8, key) -> (state, metrics).
+
+    guard_updates enables the rejection + EMA-rollback guard (train/guard.py)
+    around the optimizer; reject_limit / rollback_after tune it.
+    """
 
     def loss_fn(params, lr_batch, hr_batch):
         sr = model.apply({"params": params}, lr_batch)
@@ -110,15 +117,24 @@ def make_train_step(model: Generator, tx, geo: PipelineGeometry,
                                      up1=up1, up2=up2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params, lr_batch, hr_batch)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema_params = ema_update(state.ema_params, params, ema_decay)
+        if guard_updates:
+            params, ema_params, opt_state, guard, info = guarded_update(
+                tx, grads, state.opt_state, state.params, state.ema_params,
+                state.guard, reject_limit=reject_limit,
+                rollback_after=rollback_after, ema_decay=ema_decay)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = ema_update(state.ema_params, params, ema_decay)
+            guard = state.guard
+            info = {"grad_norm": optax.global_norm(grads)}
 
         new_state = TrainState(step=state.step + 1, params=params,
-                               ema_params=ema_params, opt_state=opt_state)
+                               ema_params=ema_params, opt_state=opt_state,
+                               guard=guard)
         # grad_norm is the pre-clip global norm: the explosion telltale
-        # (inf here + an unchanged loss plateau = steps being skipped).
-        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        # (inf/huge here + a loss plateau = steps being rejected).
+        return new_state, {"loss": loss, **info}
 
     jitted = jax.jit(train_step, static_argnums=(3, 4), donate_argnums=(0,))
 

@@ -1,0 +1,132 @@
+"""In-graph gradient rejection + EMA rollback: training self-healing.
+
+Why this exists (the InEnv10 stage-1 post-mortem, round 4): RRDB trunks are
+residual chains whose effective gain sits near criticality.  On some inputs
+the trained weights go super-critical — the forward pass amplifies
+exponentially along the trunk (measured: trunk_19 ~1e19 -> trunk_22 ~6e21 ->
+1e22 at the output convs, with params maxabs 0.19 and clean [0,1] inputs,
+in f32 as well as bf16) — and the output clamp hides it from the LOSS while
+the straight-through clamp gradient carries it into the GRADS (finite-huge,
+~5e21).  Two prior guard designs both turned this one-step event into a dead
+run:
+
+* raw Adam (reference parity, /root/reference/train_realesrnet.py:258-394):
+  nu ingests g^2 = inf and never decays it — every later update is exactly
+  zero; the run trains a frozen model for hundreds of epochs.
+* optax.apply_if_finite + clip (round-4 first fix): params freeze at the
+  last finite state — which is already super-critical, so EVERY later batch
+  explodes, every update is rejected, and training never moves again.
+
+The resolution is that skipping is not enough: the trainer must be able to
+UNDO the steps that walked it off the cliff.  The EMA (decay 0.999, i.e. a
+~1000-step average) is exactly such an undo buffer — it lags the divergence
+ramp (~20 steps) by 50x, so when rejections pile up, rolling params back to
+the EMA restores a pre-ramp, healthy model, and zeroing Adam's moments
+forgets the ramp's direction.  Everything is in-graph (jnp.where selects, no
+lax.cond, donation-safe) so the jitted step stays a single fused program.
+
+Guard policy per step:
+  1. reject the update if the global grad norm is non-finite OR above
+     ``reject_limit`` (measured healthy band on this model: 5-50; the
+     divergence ramp crosses any fixed threshold within a step or two) —
+     optimizer state, params and EMA all stay put;
+  2. after ``rollback_after`` consecutive rejections: params <- EMA, float
+     optimizer moments <- 0 (integer schedule counts are preserved).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from real_esrgan_tpu.models.ema import ema_update
+
+
+@flax.struct.dataclass
+class GuardState:
+    """Telemetry + streak for the gradient-rejection guard (all int32)."""
+    reject_streak: jnp.ndarray
+    rejected_total: jnp.ndarray
+    rollback_total: jnp.ndarray
+
+
+def guard_init() -> GuardState:
+    # three DISTINCT arrays: the train step donates its input state, and a
+    # shared zeros() would be donated twice (see models/ema.py)
+    return GuardState(reject_streak=jnp.zeros((), jnp.int32),
+                      rejected_total=jnp.zeros((), jnp.int32),
+                      rollback_total=jnp.zeros((), jnp.int32))
+
+
+def tree_select(pred: jnp.ndarray, on_true: Any, on_false: Any) -> Any:
+    """Elementwise pytree select on a scalar predicate (fuses; no cond)."""
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
+def _zero_float_leaves(pred: jnp.ndarray, tree: Any) -> Any:
+    """Where pred, zero float leaves (Adam mu/nu); keep integer leaves
+    (schedule counts) so the LR schedule does not rewind."""
+    return jax.tree_util.tree_map(
+        lambda l: (jnp.where(pred, jnp.zeros_like(l), l)
+                   if jnp.issubdtype(l.dtype, jnp.floating) else l), tree)
+
+
+def guarded_update(tx, grads: Any, opt_state: Any, params: Any, ema: Any,
+                   guard: GuardState, *, reject_limit: float,
+                   rollback_after: int, ema_decay: float
+                   ) -> Tuple[Any, Any, Any, GuardState, Dict[str, jnp.ndarray]]:
+    """One guarded optimizer step.
+
+    Args:
+        tx: the inner transformation (clip + adam); applied only on accepted
+            steps.
+        ema: the params' EMA tree — the rollback target.  Updated (with
+            ``ema_decay``) only on accepted steps, so a long rejection streak
+            cannot poison it.  Pass ``rollback_after=0`` to disable rollback
+            (e.g. for a discriminator with no EMA — pass ``ema=params`` then).
+        reject_limit: absolute global-grad-norm ceiling; 0 disables the
+            magnitude check (non-finite norms are always rejected).
+
+    Returns:
+        (params, ema, opt_state, guard, info) — info carries the raw
+        ``grad_norm`` plus 0/1 ``rejected`` / ``rollback`` flags.
+    """
+    gnorm = optax.global_norm(grads)
+    ok = jnp.isfinite(gnorm)
+    if reject_limit:
+        ok = ok & (gnorm < reject_limit)
+
+    # Feed zeros on rejected steps (cheaper than a cond; results discarded),
+    # then discard both the update and the optimizer-state advance.
+    safe_grads = jax.tree_util.tree_map(
+        lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+    updates, new_opt = tx.update(safe_grads, opt_state, params)
+    updates = jax.tree_util.tree_map(
+        lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates)
+    new_opt = tree_select(ok, new_opt, opt_state)
+
+    new_params = optax.apply_updates(params, updates)
+    new_ema = tree_select(ok, ema_update(ema, new_params, ema_decay), ema)
+
+    streak = jnp.where(ok, 0, guard.reject_streak + 1)
+    if rollback_after:
+        roll = streak >= rollback_after
+        new_params = tree_select(roll, new_ema, new_params)
+        new_opt = _zero_float_leaves(roll, new_opt)
+        streak = jnp.where(roll, 0, streak)
+    else:
+        roll = jnp.zeros((), jnp.bool_)
+
+    new_guard = GuardState(
+        reject_streak=streak,
+        rejected_total=guard.rejected_total + (~ok).astype(jnp.int32),
+        rollback_total=guard.rollback_total + roll.astype(jnp.int32))
+    info = {"grad_norm": gnorm,
+            "rejected": (~ok).astype(jnp.float32),
+            "rollback": roll.astype(jnp.float32)}
+    return new_params, new_ema, new_opt, new_guard, info

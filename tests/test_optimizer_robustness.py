@@ -1,14 +1,22 @@
-"""Optimizer hygiene: a gradient explosion must cost one skipped step, not
-the whole run.
+"""Training self-healing: gradient divergence must cost a few rejected steps
+and (at worst) one EMA rollback — never the run.
 
-Regression for a measured production failure: an InEnv10 stage-1 run hit one
-gradient-overflow step around epoch ~180; Adam's second moment became inf
-(``nu = b2*nu + (1-b2)*g**2`` never decays an inf), every later update was
-exactly zero, and the trainer spent 300 epochs training a frozen model
-(g_last's opt_state carried 16.68M infs — exactly the nu tree).  The
-reference has no guard either (/root/reference/train_realesrnet.py:258-394
-steps the raw AMP gradients into Adam); harden_optimizer adds global-norm
-clipping + optax.apply_if_finite to both trainers.
+Regressions for two measured production failures on InEnv10 stage-1 (full
+post-mortem in real_esrgan_tpu/train/guard.py):
+
+1. one gradient-overflow step made raw Adam's second moment inf FOREVER
+   (``nu = b2*nu + (1-b2)*g**2`` never decays an inf) — the run silently
+   trained a frozen model for 300 epochs;
+2. the RRDB trunk went super-critical (forward amplifies ~1e22 with params
+   maxabs 0.19, f32 and bf16 alike), after which merely SKIPPING non-finite
+   updates (optax.apply_if_finite) froze the run at the diverged weights:
+   every later batch exploded too, so every update was rejected forever.
+
+The guard (train/guard.py) rejects non-finite/outlier updates AND rolls
+params back to the EMA after ``rollback_after`` consecutive rejections, so
+training resumes from pre-divergence weights.  The reference has no guard at
+all (/root/reference/train_realesrnet.py:258-394 steps raw AMP gradients
+into Adam).
 """
 
 import jax
@@ -19,10 +27,12 @@ import optax
 from real_esrgan_tpu.configuration import GanTrainConfig, TrainConfig
 from real_esrgan_tpu.train.esrgan import build_optimizers
 from real_esrgan_tpu.train.esrnet import (
-    build_optimizer, harden_optimizer, notfinite_count,
+    build_optimizer, harden_optimizer, notfinite_count, rollback_count,
 )
+from real_esrgan_tpu.train.guard import guard_init, guarded_update
 
 PARAMS = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+EMA = {"w": jnp.full((4, 4), 2.0), "b": jnp.full((4,), 3.0)}
 
 
 def _grads(value):
@@ -30,47 +40,168 @@ def _grads(value):
         lambda p: jnp.full_like(p, value), PARAMS)
 
 
-def test_inf_gradient_step_is_skipped_and_recoverable():
+def _tree_equal(a, b):
+    return all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(jax.tree_util.tree_leaves(a),
+                               jax.tree_util.tree_leaves(b)))
+
+
+def _step(tx, grads, opt_state, params, ema, guard, **kw):
+    kw.setdefault("reject_limit", 500.0)
+    kw.setdefault("rollback_after", 4)
+    kw.setdefault("ema_decay", 0.9)
+    return guarded_update(tx, grads, opt_state, params, ema, guard, **kw)
+
+
+def test_inf_gradient_step_is_rejected_and_recoverable():
     tx = build_optimizer(TrainConfig(), steps_per_epoch=10)
     opt_state = tx.init(PARAMS)
+    guard = guard_init()
 
-    updates, opt_state = tx.update(_grads(jnp.inf), opt_state, PARAMS)
-    assert all(np.all(np.asarray(u) == 0)
-               for u in jax.tree_util.tree_leaves(updates))
-    assert notfinite_count(opt_state) == 1
+    params, ema, opt_state2, guard, info = _step(
+        tx, _grads(jnp.inf), opt_state, PARAMS, EMA, guard)
+    assert _tree_equal(params, PARAMS)          # params untouched
+    assert _tree_equal(ema, EMA)                # ema untouched
+    assert _tree_equal(opt_state2, opt_state)   # optimizer state untouched
+    assert notfinite_count(guard) == 1
+    assert float(info["rejected"]) == 1.0
 
     # the very next finite gradient must produce a real, finite update
-    updates, opt_state = tx.update(_grads(0.5), opt_state, PARAMS)
-    leaves = jax.tree_util.tree_leaves(updates)
-    assert all(np.isfinite(np.asarray(u)).all() for u in leaves)
-    assert any(np.any(np.asarray(u) != 0) for u in leaves)
-    assert notfinite_count(opt_state) == 1  # not incremented by a good step
+    params, ema, opt_state3, guard, info = _step(
+        tx, _grads(0.5), opt_state2, PARAMS, EMA, guard)
+    assert float(info["rejected"]) == 0.0
+    assert not _tree_equal(params, PARAMS)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(params))
+    assert notfinite_count(guard) == 1  # not incremented by a good step
+    assert int(guard.reject_streak) == 0
 
 
-def test_nan_gradient_step_is_skipped():
+def test_nan_gradient_step_is_rejected():
     tx = build_optimizer(TrainConfig(), steps_per_epoch=10)
-    opt_state = tx.init(PARAMS)
-    updates, opt_state = tx.update(_grads(jnp.nan), opt_state, PARAMS)
-    assert all(np.all(np.asarray(u) == 0)
-               for u in jax.tree_util.tree_leaves(updates))
-    assert notfinite_count(opt_state) == 1
+    guard = guard_init()
+    params, _, _, guard, _ = _step(
+        tx, _grads(jnp.nan), tx.init(PARAMS), PARAMS, EMA, guard)
+    assert _tree_equal(params, PARAMS)
+    assert notfinite_count(guard) == 1
 
 
 def test_huge_finite_gradient_cannot_poison_adam():
-    """g = 1e30 is finite, but g**2 overflows f32 to inf — exactly how the
-    production run died.  The hardened chain must keep every optimizer-state
-    leaf finite and keep producing nonzero updates afterwards."""
+    """g = 1e30 is finite, but its global norm overflows f32 to inf — exactly
+    how the first production run died.  The guard must reject it and keep
+    every optimizer-state leaf finite."""
     tx = build_optimizer(TrainConfig(), steps_per_epoch=10)
-    opt_state = tx.init(PARAMS)
-
-    _, opt_state = tx.update(_grads(1e30), opt_state, PARAMS)
+    guard = guard_init()
+    params, _, opt_state, guard, info = _step(
+        tx, _grads(1e30), tx.init(PARAMS), PARAMS, EMA, guard)
+    assert _tree_equal(params, PARAMS)
     assert all(np.isfinite(np.asarray(leaf)).all()
                for leaf in jax.tree_util.tree_leaves(opt_state))
+    assert notfinite_count(guard) == 1
 
-    updates, opt_state = tx.update(_grads(0.5), opt_state, PARAMS)
-    leaves = jax.tree_util.tree_leaves(updates)
-    assert all(np.isfinite(np.asarray(u)).all() for u in leaves)
-    assert any(np.any(np.asarray(u) != 0) for u in leaves)
+    params, _, opt_state, guard, _ = _step(
+        tx, _grads(0.5), opt_state, PARAMS, EMA, guard)
+    assert not _tree_equal(params, PARAMS)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(params))
+
+
+def test_outlier_finite_gradient_is_rejected():
+    """The divergence ramp produces finite gradients far above the healthy
+    band (5-50 measured) long before they overflow: a global norm over
+    reject_limit must be rejected outright."""
+    tx = build_optimizer(TrainConfig(), steps_per_epoch=10)
+    guard = guard_init()
+    big = _grads(1e3)  # global norm ~4.5e3 > 500
+    params, _, _, guard, info = _step(
+        tx, big, tx.init(PARAMS), PARAMS, EMA, guard)
+    assert _tree_equal(params, PARAMS)
+    assert float(info["rejected"]) == 1.0
+    # under the limit: accepted
+    guard2 = guard_init()
+    params, _, _, guard2, info = _step(
+        tx, _grads(10.0), tx.init(PARAMS), PARAMS, EMA, guard2)
+    assert float(info["rejected"]) == 0.0
+    assert not _tree_equal(params, PARAMS)
+
+
+def test_rollback_restores_ema_and_resets_moments():
+    """After rollback_after consecutive rejections, params must come back as
+    the EMA and Adam's float moments must be zeroed (integer schedule counts
+    preserved) — the un-freeze that apply_if_finite could not provide."""
+    tx = build_optimizer(TrainConfig(), steps_per_epoch=10)
+    opt_state = tx.init(PARAMS)
+    guard = guard_init()
+
+    # a few healthy steps first so Adam's moments are nonzero
+    params, ema = PARAMS, EMA
+    for _ in range(3):
+        params, ema, opt_state, guard, _ = _step(
+            tx, _grads(0.5), opt_state, params, ema, guard)
+    mu_nonzero = any(np.any(np.asarray(l) != 0) for l in
+                     jax.tree_util.tree_leaves(opt_state)
+                     if np.issubdtype(np.asarray(l).dtype, np.floating))
+    assert mu_nonzero
+    ema_before = jax.device_get(ema)
+
+    rolled = False
+    for i in range(4):
+        params, ema, opt_state, guard, info = _step(
+            tx, _grads(jnp.nan), opt_state, params, ema, guard)
+        rolled = rolled or bool(info["rollback"])
+    assert rolled
+    assert rollback_count(guard) == 1
+    assert notfinite_count(guard) == 4
+    assert int(guard.reject_streak) == 0  # reset by the rollback
+    assert _tree_equal(params, ema_before)   # params <- EMA
+    assert _tree_equal(ema, ema_before)      # EMA itself untouched
+    for leaf in jax.tree_util.tree_leaves(opt_state):
+        arr = np.asarray(leaf)
+        if np.issubdtype(arr.dtype, np.floating):
+            assert np.all(arr == 0)           # moments forgotten
+        else:
+            assert np.all(arr >= 3)           # schedule count preserved
+
+    # training must resume normally from the rolled-back weights
+    params2, _, _, guard, info = _step(
+        tx, _grads(0.5), opt_state, params, ema, guard)
+    assert float(info["rejected"]) == 0.0
+    assert not _tree_equal(params2, params)
+
+
+def test_rollback_disabled_for_ema_free_optimizee():
+    """rollback_after=0 (the discriminator): rejections never touch params."""
+    tx = build_optimizer(TrainConfig(), steps_per_epoch=10)
+    opt_state = tx.init(PARAMS)
+    guard = guard_init()
+    params = PARAMS
+    for _ in range(10):
+        params, _, opt_state, guard, info = _step(
+            tx, _grads(jnp.inf), opt_state, params, PARAMS, guard,
+            rollback_after=0)
+        assert float(info["rollback"]) == 0.0
+    assert _tree_equal(params, PARAMS)
+    assert notfinite_count(guard) == 10
+    assert rollback_count(guard) == 0
+
+
+def test_long_rejection_streak_never_accepts():
+    """A long streak must keep rejecting (and keep rolling back) rather than
+    ever 'give up and accept' the bad update, which is how
+    optax.apply_if_finite re-poisons after max_consecutive_errors."""
+    tx = build_optimizer(TrainConfig(), steps_per_epoch=10)
+    opt_state = tx.init(PARAMS)
+    guard = guard_init()
+    params, ema = PARAMS, EMA
+    for _ in range(150):
+        params, ema, opt_state, guard, _ = _step(
+            tx, _grads(jnp.inf), opt_state, params, ema, guard)
+    assert notfinite_count(guard) == 150
+    assert rollback_count(guard) == 150 // 4
+    assert _tree_equal(ema, EMA)            # EMA never polluted
+    assert _tree_equal(params, EMA)         # held at the rollback target
+    assert all(np.isfinite(np.asarray(leaf)).all()
+               for leaf in jax.tree_util.tree_leaves(opt_state))
 
 
 def test_clipping_bounds_update_scale():
@@ -88,37 +219,20 @@ def test_clipping_bounds_update_scale():
     assert n_big < n_small * 1e5
 
 
-def test_gan_optimizers_are_hardened():
+def test_gan_optimizers_accept_guarded_updates():
     g_tx, d_tx = build_optimizers(GanTrainConfig(), steps_per_epoch=10)
     for tx in (g_tx, d_tx):
-        opt_state = tx.init(PARAMS)
-        updates, opt_state = tx.update(_grads(jnp.inf), opt_state, PARAMS)
-        assert all(np.all(np.asarray(u) == 0)
-                   for u in jax.tree_util.tree_leaves(updates))
-        assert notfinite_count(opt_state) == 1
-
-
-def test_many_consecutive_nonfinite_steps_never_poison():
-    """optax.apply_if_finite 'gives up and ACCEPTS' the raw update after
-    max_consecutive_errors — which would re-introduce the poisoning.  The
-    hardened chain pins the limit high enough that a long streak of bad
-    steps still only ever produces zero updates."""
-    tx = build_optimizer(TrainConfig(), steps_per_epoch=10)
-    opt_state = tx.init(PARAMS)
-    for _ in range(150):
-        updates, opt_state = tx.update(_grads(jnp.inf), opt_state, PARAMS)
-    assert all(np.all(np.asarray(u) == 0)
-               for u in jax.tree_util.tree_leaves(updates))
-    assert notfinite_count(opt_state) == 150
-    assert all(np.isfinite(np.asarray(leaf)).all()
-               for leaf in jax.tree_util.tree_leaves(opt_state))
+        guard = guard_init()
+        params, _, _, guard, info = _step(
+            tx, _grads(jnp.inf), tx.init(PARAMS), PARAMS, EMA, guard)
+        assert _tree_equal(params, PARAMS)
+        assert notfinite_count(guard) == 1
 
 
 def test_grad_clip_zero_disables_hardening_chain():
     cfg = TrainConfig(grad_clip_norm=0.0, skip_nonfinite_updates=False)
     tx = build_optimizer(cfg, steps_per_epoch=10)
     opt_state = tx.init(PARAMS)
-    assert notfinite_count(opt_state) == 0  # plain Adam state: no counter
     u, _ = tx.update(_grads(0.5), opt_state, PARAMS)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(u))

@@ -35,7 +35,9 @@ from real_esrgan_tpu.train.esrgan import (
     GanTrainState, build_models, build_optimizers, init_gan_state,
     make_gan_train_step,
 )
-from real_esrgan_tpu.train.esrnet import make_eval_fn, notfinite_count
+from real_esrgan_tpu.train.esrnet import (
+    make_eval_fn, notfinite_count, rollback_count,
+)
 from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
 from train_realesrnet import SyntheticHRDataset, validate
 
@@ -285,16 +287,18 @@ def main(args) -> None:
                 meters["Adversarial"].update(m["adversarial"], n)
                 meters["D(HR)"].update(m["d_hr_prob"], n)
                 meters["D(SR)"].update(m["d_sr_prob"], n)
-                if not all(np.isfinite(v) for v in
-                           (m["g_loss"], m["d_loss"],
-                            m["g_grad_norm"], m["d_grad_norm"])):
-                    print(f"WARNING: non-finite step in window (G loss "
+                rejected = m.get("g_rejected", 0.0) + m.get("d_rejected", 0.0)
+                if rejected or not all(np.isfinite(v) for v in
+                                       (m["g_loss"], m["d_loss"],
+                                        m["g_grad_norm"], m["d_grad_norm"])):
+                    print(f"WARNING: rejected update(s) in window (G loss "
                           f"{m['g_loss']}, D loss {m['d_loss']}, grad norms "
                           f"G {m['g_grad_norm']} / D {m['d_grad_norm']}); "
-                          f"{notfinite_count(state.g_opt)}/"
-                          f"{notfinite_count(state.d_opt)} G/D updates "
-                          "skipped so far — training continues on the last "
-                          "finite state.", flush=True)
+                          f"{notfinite_count(state.g_guard)}/"
+                          f"{notfinite_count(state.d_guard)} G/D rejected, "
+                          f"{rollback_count(state.g_guard)} G EMA rollbacks "
+                          "total — the guard is holding training on healthy "
+                          "weights.", flush=True)
                 if writer is not None:
                     iters = batch_index + epoch * steps_per_epoch + 1
                     writer.add_scalar("Train/D_Loss", m["d_loss"], iters)

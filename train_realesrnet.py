@@ -34,7 +34,7 @@ from real_esrgan_tpu.data import grain_loader
 from real_esrgan_tpu.train import checkpoint as ckpt_lib
 from real_esrgan_tpu.train.esrnet import (
     TrainState, build_generator, build_optimizer, init_state, make_eval_fn,
-    make_train_step, notfinite_count,
+    make_train_step, notfinite_count, rollback_count,
 )
 from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
 
@@ -210,6 +210,7 @@ def main(args) -> None:
                 opt_state=ckpt_lib.restore_like(host_state.opt_state,
                                                 tree["opt_state"], "opt_state",
                                                 on_mismatch="template"),
+                guard=host_state.guard,  # telemetry restarts at zero on resume
             )
             meta = np.asarray([float(tree.get("epoch", 0)),
                                float(tree.get("best_niqe", 100.0))])
@@ -221,7 +222,10 @@ def main(args) -> None:
                                              jax.process_index()):
             print("Restored data-loader stream position.")
 
-    train_step = make_train_step(model, tx, geo, kcfg, dcfg, cfg.ema_decay)
+    train_step = make_train_step(
+        model, tx, geo, kcfg, dcfg, cfg.ema_decay,
+        reject_limit=cfg.grad_reject_limit, rollback_after=cfg.rollback_after,
+        guard_updates=cfg.skip_nonfinite_updates)
     eval_fn = make_eval_fn(model)
     niqe_model = NIQE(crop_border=model_cfg.upscale_factor)
 
@@ -259,7 +263,7 @@ def main(args) -> None:
         # the host fetches one window mean per print interval, so the epoch
         # average covers every iteration (reference train_realesrnet.py:397)
         # without a per-step device round-trip.
-        loss_window, gn_window, window_n = None, None, 0
+        loss_window, gn_window, rej_window, window_n = None, None, None, 0
         for batch_index, hr_uint8 in enumerate(prefetcher):
             data_time.update(time.time() - end)
             up1 = bool(coin_rng.random() < dcfg.resize_probs1[0])
@@ -269,19 +273,24 @@ def main(args) -> None:
                            else loss_window + metrics["loss"])
             gn_window = (metrics["grad_norm"] if gn_window is None
                          else gn_window + metrics["grad_norm"])
+            rej = metrics.get("rejected")
+            if rej is not None:
+                rej_window = rej if rej_window is None else rej_window + rej
             window_n += 1
             if batch_index % cfg.print_frequency == 0:
                 loss = float(loss_window) / window_n  # sync point
                 gnorm = float(gn_window) / window_n
                 losses.update(loss, batch * window_n)
                 gnorms.update(gnorm, batch * window_n)
-                loss_window, gn_window, window_n = None, None, 0
-                if not np.isfinite(loss) or not np.isfinite(gnorm):
-                    print(f"WARNING: non-finite step in window (loss {loss}, "
-                          f"grad norm {gnorm}); "
-                          f"{notfinite_count(state.opt_state)} updates "
-                          "skipped so far — training continues on the last "
-                          "finite state.", flush=True)
+                rejected = float(rej_window) if rej_window is not None else 0.0
+                loss_window, gn_window, rej_window, window_n = None, None, None, 0
+                if rejected or not np.isfinite(loss) or not np.isfinite(gnorm):
+                    print(f"WARNING: {rejected:.0f} rejected update(s) in "
+                          f"window (loss {loss}, grad norm {gnorm}); "
+                          f"{notfinite_count(state.guard)} rejected / "
+                          f"{rollback_count(state.guard)} EMA rollbacks total "
+                          "— the guard is holding training on healthy "
+                          "weights.", flush=True)
                 if writer is not None:
                     writer.add_scalar("Train/Loss", loss,
                                       batch_index + epoch * steps_per_epoch + 1)
@@ -333,8 +342,9 @@ def main(args) -> None:
                                                   best_niqe + 30.0):
                 print(f"WARNING: eval NIQE {signal:.2f} is far above the best "
                       f"{best_niqe:.2f} — the model may have diverged "
-                      f"({notfinite_count(state.opt_state)} non-finite updates "
-                      "skipped so far). Consider resuming from "
+                      f"({notfinite_count(state.guard)} rejected updates, "
+                      f"{rollback_count(state.guard)} EMA rollbacks so far). "
+                      "Consider resuming from "
                       f"results/{exp_name}/g_best.", flush=True)
             best_niqe = min(signal, best_niqe)
         payload = {
