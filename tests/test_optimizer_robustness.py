@@ -236,3 +236,50 @@ def test_grad_clip_zero_disables_hardening_chain():
     u, _ = tx.update(_grads(0.5), opt_state, PARAMS)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(u))
+
+
+def test_train_step_rejects_divergence_and_rolls_back_end_to_end():
+    """Wiring test through the REAL jitted ESRNet step (make_train_step):
+    poison params to super-critical magnitudes (the production signature:
+    output clamp keeps the loss finite, the straight-through clamp gradient
+    carries ~1e20s into the grads), then assert the guard rejects every
+    step, rolls back to the EMA after 4, and that training resumes from the
+    restored weights."""
+    from real_esrgan_tpu.configuration import (
+        DegradationConfig, KernelSynthesisConfig, ModelConfig,
+        PipelineGeometry,
+    )
+    from real_esrgan_tpu.train.esrnet import (
+        build_generator, init_state, make_train_step,
+    )
+
+    geo = PipelineGeometry(hr_size=64, crop_size=32, scale=4)
+    cfg = TrainConfig(batch_size=4, use_bfloat16=False, remat_rrdb=False)
+    model = build_generator(ModelConfig(num_rrdb=1, channels=16,
+                                        growth_channels=8), cfg)
+    tx = build_optimizer(cfg, steps_per_epoch=10)
+    state = init_state(jax.random.PRNGKey(0), model, tx, geo)
+    step_fn = make_train_step(model, tx, geo, KernelSynthesisConfig(),
+                              DegradationConfig(usm_radius=13), cfg.ema_decay,
+                              reject_limit=500.0, rollback_after=4)
+    healthy = jax.device_get(state.params)   # == the EMA at init
+    state = state.replace(params=jax.tree_util.tree_map(
+        lambda p: p * 1e20, state.params))
+
+    hr = (np.random.default_rng(3).random((4, 64, 64, 3)) * 255).astype(np.uint8)
+    for i in range(4):
+        state, metrics = step_fn(state, jnp.asarray(hr), jax.random.PRNGKey(i))
+        assert float(metrics["rejected"]) == 1.0, i
+    assert rollback_count(state.guard) == 1
+    assert notfinite_count(state.guard) == 4
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(
+                jax.device_get(state.params))[0],
+            jax.tree_util.tree_flatten_with_path(healthy)[0]):
+        np.testing.assert_array_equal(a, b, err_msg=str(ka))
+
+    # training must resume normally from the restored weights
+    state, metrics = step_fn(state, jnp.asarray(hr), jax.random.PRNGKey(9))
+    assert float(metrics["rejected"]) == 0.0
+    assert np.isfinite(float(metrics["loss"]))
+    assert rollback_count(state.guard) == 1
