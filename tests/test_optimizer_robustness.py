@@ -283,3 +283,55 @@ def test_train_step_rejects_divergence_and_rolls_back_end_to_end():
     assert float(metrics["rejected"]) == 0.0
     assert np.isfinite(float(metrics["loss"]))
     assert rollback_count(state.guard) == 1
+
+
+def test_gan_step_guards_generator_and_discriminator_independently():
+    """Wiring test through the REAL fused GAN step (make_gan_train_step):
+    super-critical G params explode the G grads AND poison sr.detach()
+    (inf activations turn into NaN through the clamp), so BOTH guards must
+    reject during the divergence.  The G guard must roll G back to its EMA
+    after 4 rejections; the D guard is reject-only (no EMA target) and must
+    never roll back — D's params simply hold until its input is healthy.
+    After the G rollback, both optimizees must train normally again."""
+    from real_esrgan_tpu.configuration import (
+        DegradationConfig, GanTrainConfig, KernelSynthesisConfig,
+        ModelConfig, PipelineGeometry,
+    )
+    from real_esrgan_tpu.train.esrgan import (
+        build_models, build_optimizers, init_gan_state, make_gan_train_step,
+    )
+
+    geo = PipelineGeometry(hr_size=64, crop_size=64, scale=4)
+    cfg = GanTrainConfig(batch_size=4, use_bfloat16=False, remat_rrdb=False)
+    model_cfg = ModelConfig(num_rrdb=1, channels=16, growth_channels=8)
+    generator, discriminator, vgg = build_models(model_cfg, cfg)
+    g_tx, d_tx = build_optimizers(cfg, steps_per_epoch=10)
+    state = init_gan_state(jax.random.PRNGKey(0), generator, discriminator,
+                           g_tx, d_tx, geo)
+    vgg_params = vgg.init(jax.random.PRNGKey(3),
+                          jnp.zeros((1, 64, 64, 3)))["params"]
+    step_fn = make_gan_train_step(generator, discriminator, vgg, vgg_params,
+                                  g_tx, d_tx, geo, KernelSynthesisConfig(),
+                                  DegradationConfig(usm_radius=13), cfg)
+    healthy_g = jax.device_get(state.g_params)   # == the G EMA at init
+    state = state.replace(g_params=jax.tree_util.tree_map(
+        lambda p: p * 1e20, state.g_params))
+
+    hr = (np.random.default_rng(5).random((4, 64, 64, 3)) * 255).astype(np.uint8)
+    for i in range(4):
+        state, metrics = step_fn(state, jnp.asarray(hr), jax.random.PRNGKey(i))
+        assert float(metrics["g_rejected"]) == 1.0, i
+    assert rollback_count(state.g_guard) == 1
+    assert notfinite_count(state.g_guard) == 4
+    assert rollback_count(state.d_guard) == 0  # reject-only: never rolls back
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(
+                jax.device_get(state.g_params))[0],
+            jax.tree_util.tree_flatten_with_path(healthy_g)[0]):
+        np.testing.assert_array_equal(a, b, err_msg=str(ka))
+
+    # both optimizees train normally from the restored weights
+    state, metrics = step_fn(state, jnp.asarray(hr), jax.random.PRNGKey(9))
+    assert float(metrics["g_rejected"]) == 0.0
+    assert float(metrics["d_rejected"]) == 0.0
+    assert np.isfinite(float(metrics["g_loss"]))
