@@ -31,7 +31,21 @@ Guard policy per step:
      divergence ramp crosses any fixed threshold within a step or two) —
      optimizer state, params and EMA all stay put;
   2. after ``rollback_after`` consecutive rejections: params <- EMA, float
-     optimizer moments <- 0 (integer schedule counts are preserved).
+     optimizer moments <- 0 (integer schedule counts are preserved);
+  3. every rollback HALVES an update scale (``lr_scale``, floor 1/64) that
+     multiplies accepted updates, and ``recover_after`` consecutive
+     accepted steps double it back (cap 1.0).
+
+Step 3 exists because rollback alone cannot escape a PERSISTENT attractor:
+the first guarded production run rode out isolated events fine, but a later
+one entered a rollback storm (rejection rate climbing 11% -> 39% over 270
+epochs, loss pinned at ~0.25) — at the configured LR, every path from the
+EMA led back over the cliff, so reject -> rollback -> re-walk looped
+forever.  Halving the effective step size on each rollback turns the guard
+into a complete control loop: slow down until the trajectory is stable,
+then re-accelerate once it demonstrably is.  Scaling the UPDATE is exactly
+scaling Adam's lr (updates are lr-proportional), without touching the
+optimizer's schedule state.
 """
 
 from __future__ import annotations
@@ -48,18 +62,22 @@ from real_esrgan_tpu.models.ema import ema_update
 
 @flax.struct.dataclass
 class GuardState:
-    """Telemetry + streak for the gradient-rejection guard (all int32)."""
-    reject_streak: jnp.ndarray
-    rejected_total: jnp.ndarray
-    rollback_total: jnp.ndarray
+    """Streak counters, telemetry, and the adaptive update scale."""
+    reject_streak: jnp.ndarray      # int32, consecutive rejections
+    rejected_total: jnp.ndarray     # int32
+    rollback_total: jnp.ndarray     # int32
+    accept_streak: jnp.ndarray      # int32, consecutive accepted steps
+    lr_scale: jnp.ndarray           # f32 in [floor, 1], multiplies updates
 
 
 def guard_init() -> GuardState:
-    # three DISTINCT arrays: the train step donates its input state, and a
-    # shared zeros() would be donated twice (see models/ema.py)
+    # DISTINCT arrays per field: the train step donates its input state, and
+    # a shared zeros() would be donated twice (see models/ema.py)
     return GuardState(reject_streak=jnp.zeros((), jnp.int32),
                       rejected_total=jnp.zeros((), jnp.int32),
-                      rollback_total=jnp.zeros((), jnp.int32))
+                      rollback_total=jnp.zeros((), jnp.int32),
+                      accept_streak=jnp.zeros((), jnp.int32),
+                      lr_scale=jnp.ones((), jnp.float32))
 
 
 def tree_select(pred: jnp.ndarray, on_true: Any, on_false: Any) -> Any:
@@ -78,7 +96,9 @@ def _zero_float_leaves(pred: jnp.ndarray, tree: Any) -> Any:
 
 def guarded_update(tx, grads: Any, opt_state: Any, params: Any, ema: Any,
                    guard: GuardState, *, reject_limit: float,
-                   rollback_after: int, ema_decay: float
+                   rollback_after: int, ema_decay: float,
+                   backoff: float = 0.5, lr_scale_floor: float = 1.0 / 64.0,
+                   recover_after: int = 256
                    ) -> Tuple[Any, Any, Any, GuardState, Dict[str, jnp.ndarray]]:
     """One guarded optimizer step.
 
@@ -91,10 +111,14 @@ def guarded_update(tx, grads: Any, opt_state: Any, params: Any, ema: Any,
             (e.g. for a discriminator with no EMA — pass ``ema=params`` then).
         reject_limit: absolute global-grad-norm ceiling; 0 disables the
             magnitude check (non-finite norms are always rejected).
+        backoff: each rollback multiplies ``lr_scale`` by this (0/1 disables
+            the adaptive scale); ``recover_after`` consecutive accepted steps
+            double it back toward 1.0.
 
     Returns:
         (params, ema, opt_state, guard, info) — info carries the raw
-        ``grad_norm`` plus 0/1 ``rejected`` / ``rollback`` flags.
+        ``grad_norm``, the applied ``lr_scale``, and 0/1 ``rejected`` /
+        ``rollback`` flags.
     """
     gnorm = optax.global_norm(grads)
     ok = jnp.isfinite(gnorm)
@@ -106,8 +130,9 @@ def guarded_update(tx, grads: Any, opt_state: Any, params: Any, ema: Any,
     safe_grads = jax.tree_util.tree_map(
         lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
     updates, new_opt = tx.update(safe_grads, opt_state, params)
+    scale = jnp.where(ok, guard.lr_scale, 0.0)
     updates = jax.tree_util.tree_map(
-        lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates)
+        lambda u: u * scale.astype(u.dtype), updates)
     new_opt = tree_select(ok, new_opt, opt_state)
 
     new_params = optax.apply_updates(params, updates)
@@ -122,11 +147,25 @@ def guarded_update(tx, grads: Any, opt_state: Any, params: Any, ema: Any,
     else:
         roll = jnp.zeros((), jnp.bool_)
 
+    lr_scale = guard.lr_scale
+    accept_streak = jnp.where(ok, guard.accept_streak + 1,
+                              jnp.zeros((), jnp.int32))
+    if backoff and backoff != 1.0:
+        lr_scale = jnp.where(roll, jnp.maximum(lr_scale * backoff,
+                                               lr_scale_floor), lr_scale)
+        recover = accept_streak >= recover_after
+        lr_scale = jnp.where(recover, jnp.minimum(lr_scale * 2.0, 1.0),
+                             lr_scale)
+        accept_streak = jnp.where(recover, 0, accept_streak)
+
     new_guard = GuardState(
         reject_streak=streak,
         rejected_total=guard.rejected_total + (~ok).astype(jnp.int32),
-        rollback_total=guard.rollback_total + roll.astype(jnp.int32))
+        rollback_total=guard.rollback_total + roll.astype(jnp.int32),
+        accept_streak=accept_streak,
+        lr_scale=lr_scale)
     info = {"grad_norm": gnorm,
+            "lr_scale": guard.lr_scale,  # the scale THIS step applied
             "rejected": (~ok).astype(jnp.float32),
             "rollback": roll.astype(jnp.float32)}
     return new_params, new_ema, new_opt, new_guard, info

@@ -335,3 +335,64 @@ def test_gan_step_guards_generator_and_discriminator_independently():
     assert float(metrics["g_rejected"]) == 0.0
     assert float(metrics["d_rejected"]) == 0.0
     assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_rollback_halves_lr_scale_with_floor():
+    """Each rollback must halve the adaptive update scale (the escape from
+    a rollback STORM: at full LR every path from the EMA led back over the
+    cliff — measured 39% rejection rate by epoch 271), floored at 1/64."""
+    tx = build_optimizer(TrainConfig(), steps_per_epoch=10)
+    opt_state = tx.init(PARAMS)
+    guard = guard_init()
+    params, ema = PARAMS, EMA
+    assert float(guard.lr_scale) == 1.0
+    for k in range(1, 9):  # 8 rollbacks: 0.5 ... floor
+        for _ in range(4):
+            params, ema, opt_state, guard, _ = _step(
+                tx, _grads(jnp.nan), opt_state, params, ema, guard)
+        assert float(guard.lr_scale) == max(0.5 ** k, 1 / 64), k
+    assert float(guard.lr_scale) == 1 / 64
+
+
+def test_accept_streak_recovers_lr_scale():
+    """recover_after consecutive accepted steps double lr_scale (cap 1.0):
+    the guard re-accelerates once the trajectory is demonstrably stable."""
+    tx = build_optimizer(TrainConfig(), steps_per_epoch=10)
+    opt_state = tx.init(PARAMS)
+    guard = guard_init()
+    params, ema = PARAMS, EMA
+    for _ in range(8):  # two rollbacks -> lr_scale 0.25
+        params, ema, opt_state, guard, _ = _step(
+            tx, _grads(jnp.nan), opt_state, params, ema, guard)
+    assert float(guard.lr_scale) == 0.25
+    for i in range(6):  # recover_after=3 here: doubles at steps 3 and 6
+        params, ema, opt_state, guard, info = _step(
+            tx, _grads(0.5), opt_state, params, ema, guard, recover_after=3)
+    assert float(guard.lr_scale) == 1.0
+    # capped at 1.0 no matter how long the healthy streak continues
+    for _ in range(4):
+        params, ema, opt_state, guard, _ = _step(
+            tx, _grads(0.5), opt_state, params, ema, guard, recover_after=3)
+    assert float(guard.lr_scale) == 1.0
+
+
+def test_lr_scale_multiplies_update_magnitude():
+    """An accepted update under lr_scale=s must be exactly s times the
+    update at full scale (scaling the update == scaling Adam's lr)."""
+    tx = build_optimizer(TrainConfig(grad_clip_norm=0.0), steps_per_epoch=10)
+    guard_full = guard_init()
+    p_full, _, _, _, _ = _step(
+        tx, _grads(0.5), tx.init(PARAMS), PARAMS, EMA, guard_full)
+    guard_half = guard_init().replace(lr_scale=jnp.float32(0.5))
+    p_half, _, _, _, info = _step(
+        tx, _grads(0.5), tx.init(PARAMS), PARAMS, EMA, guard_half)
+    assert float(info["lr_scale"]) == 0.5
+    for (ka, pf), (kb, ph), (kc, p0) in zip(
+            jax.tree_util.tree_flatten_with_path(p_full)[0],
+            jax.tree_util.tree_flatten_with_path(p_half)[0],
+            jax.tree_util.tree_flatten_with_path(PARAMS)[0]):
+        # atol = ulp(1.0): extracting the delta near p0=1 quantizes it to
+        # the f32 grid at 1.0, which dominates the comparison error
+        np.testing.assert_allclose(np.asarray(ph) - np.asarray(p0),
+                                   (np.asarray(pf) - np.asarray(p0)) * 0.5,
+                                   rtol=1e-6, atol=1.2e-7, err_msg=str(ka))

@@ -101,6 +101,8 @@ def main(args) -> None:
         cfg = dataclasses.replace(cfg, test_hr_image_dir=args.test_hr_dir)
     if getattr(args, "exp_name", ""):
         cfg = dataclasses.replace(cfg, exp_name=args.exp_name)
+    if getattr(args, "lr", 0.0):
+        cfg = dataclasses.replace(cfg, lr=args.lr)
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
@@ -297,8 +299,10 @@ def main(args) -> None:
                           f"{notfinite_count(state.g_guard)}/"
                           f"{notfinite_count(state.d_guard)} G/D rejected, "
                           f"{rollback_count(state.g_guard)} G EMA rollbacks "
-                          "total — the guard is holding training on healthy "
-                          "weights.", flush=True)
+                          f"total, G lr_scale "
+                          f"{float(state.g_guard.lr_scale):.4f} — the guard "
+                          "is holding training on healthy weights.",
+                          flush=True)
                 if writer is not None:
                     iters = batch_index + epoch * steps_per_epoch + 1
                     writer.add_scalar("Train/D_Loss", m["d_loss"], iters)
@@ -384,6 +388,8 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="RealESRGAN stage-2 GAN training (TPU)")
     parser.add_argument("--epochs", type=int, default=0)
     parser.add_argument("--batch-size", type=int, default=0)
+    parser.add_argument("--lr", type=float, default=0.0,
+                        help="override the config learning rate")
     parser.add_argument("--resume", type=str, default="")
     parser.add_argument("--resume-g", type=str, default="")
     parser.add_argument("--resume-d", type=str, default="")

@@ -145,6 +145,8 @@ def main(args) -> None:
         cfg = dataclasses.replace(cfg, test_lr_image_dir=args.test_lr_dir)
     if getattr(args, "test_hr_dir", ""):
         cfg = dataclasses.replace(cfg, test_hr_image_dir=args.test_hr_dir)
+    if getattr(args, "lr", 0.0):
+        cfg = dataclasses.replace(cfg, lr=args.lr)
     exp_name = getattr(args, "exp_name", "") or run_config.exp_name
 
     mesh = make_mesh()
@@ -288,9 +290,10 @@ def main(args) -> None:
                     print(f"WARNING: {rejected:.0f} rejected update(s) in "
                           f"window (loss {loss}, grad norm {gnorm}); "
                           f"{notfinite_count(state.guard)} rejected / "
-                          f"{rollback_count(state.guard)} EMA rollbacks total "
-                          "— the guard is holding training on healthy "
-                          "weights.", flush=True)
+                          f"{rollback_count(state.guard)} EMA rollbacks total, "
+                          f"lr_scale {float(state.guard.lr_scale):.4f} — the "
+                          "guard is holding training on healthy weights.",
+                          flush=True)
                 if writer is not None:
                     writer.add_scalar("Train/Loss", loss,
                                       batch_index + epoch * steps_per_epoch + 1)
@@ -376,6 +379,8 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="RealESRNet stage-1 training (TPU)")
     parser.add_argument("--epochs", type=int, default=0, help="override config")
     parser.add_argument("--batch-size", type=int, default=0)
+    parser.add_argument("--lr", type=float, default=0.0,
+                        help="override the config learning rate")
     parser.add_argument("--resume", type=str, default="")
     parser.add_argument("--cpu", action="store_true",
                         help="force the host CPU backend (dev parity with "
