@@ -37,6 +37,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import statistics
 import time
 
 import jax
@@ -44,6 +46,41 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_BASELINE_MP_PER_S = 10.0
+
+# Long-running training scripts (tools/run_inenv10_program.sh) hold this lock
+# while they occupy the chip.  Round 4's acceptance bench was captured during
+# a training run and recorded a 26%-regressed tiled number — the scoreboard
+# must refuse to measure a busy chip.
+TPU_BUSY_LOCK = "/tmp/tpu_busy.lock"
+
+
+def wait_for_idle_chip(max_wait_s: float = 1800.0) -> bool:
+    """Block while TPU_BUSY_LOCK exists (up to max_wait_s).
+
+    Returns True if the chip was contended at any point (the JSON lines then
+    carry ``contended`` so a regressed capture is self-describing)."""
+    contended = False
+    t0 = time.time()
+    while os.path.exists(TPU_BUSY_LOCK):
+        contended = True
+        waited = time.time() - t0
+        if waited >= max_wait_s:
+            print(f"# WARNING: {TPU_BUSY_LOCK} still present after "
+                  f"{waited:.0f}s — measuring anyway; numbers may be "
+                  "contended", flush=True)
+            return True
+        if waited % 120 < 15:
+            print(f"# chip busy ({TPU_BUSY_LOCK} held) — waiting "
+                  f"({waited:.0f}s)", flush=True)
+        time.sleep(15)
+    return contended
+
+
+def _median_rate(timed_once, repeats: int = 3) -> float:
+    """Median of N timed passes over the SAME compiled program — one bad
+    capture (GC pause, relay hiccup, another process's burst) can no longer
+    erase a round of perf work."""
+    return statistics.median(timed_once() for _ in range(repeats))
 
 # bf16 dense peak per chip kind (TF/s), for the peak_fraction key.  Longest
 # prefix wins ("TPU v5 lite" before "TPU v5").  Sources: public TPU specs
@@ -131,12 +168,14 @@ def measure(batch: int, lr_size: int, iters: int) -> float:
                   jax.jit(lambda p, v: model.apply({"params": p}, v)),
                   out_mp_per_call, params, x)
     float(chained(params, x, 1)[0, 0, 0, 0])  # compile + warmup
-    t0 = time.perf_counter()
-    float(chained(params, x, iters)[0, 0, 0, 0])
-    dt = time.perf_counter() - t0
-
     out_mp = batch * (lr_size * 4) ** 2 / 1e6
-    return out_mp * iters / dt
+
+    def timed_once() -> float:
+        t0 = time.perf_counter()
+        float(chained(params, x, iters)[0, 0, 0, 0])
+        return out_mp * iters / (time.perf_counter() - t0)
+
+    return _median_rate(timed_once)
 
 
 def measure_train(batch: int, iters: int, mix: bool = True) -> float:
@@ -173,12 +212,16 @@ def measure_train(batch: int, iters: int, mix: bool = True) -> float:
     for combo in sorted(set(flags)):               # compile every combo
         state, metrics = step_fn(state, hr, key, *combo)
     float(metrics["loss"])
-    t0 = time.perf_counter()
-    for f in flags:
-        state, metrics = step_fn(state, hr, key, *f)
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+
+    def timed_once() -> float:
+        nonlocal state
+        t0 = time.perf_counter()
+        for f in flags:
+            state, metrics = step_fn(state, hr, key, *f)
+        float(metrics["loss"])
+        return batch * iters / (time.perf_counter() - t0)
+
+    return _median_rate(timed_once)
 
 
 def measure_gan(batch: int, iters: int, mix: bool = True) -> float:
@@ -212,11 +255,16 @@ def measure_gan(batch: int, iters: int, mix: bool = True) -> float:
     for combo in sorted(set(flags)):               # compile every combo
         state, m = step_fn(state, hr, key, *combo)
     float(m["g_loss"])
-    t0 = time.perf_counter()
-    for f in flags:
-        state, m = step_fn(state, hr, key, *f)
-    float(m["g_loss"])
-    return batch * iters / (time.perf_counter() - t0)
+
+    def timed_once() -> float:
+        nonlocal state
+        t0 = time.perf_counter()
+        for f in flags:
+            state, m = step_fn(state, hr, key, *f)
+        float(m["g_loss"])
+        return batch * iters / (time.perf_counter() - t0)
+
+    return _median_rate(timed_once)
 
 
 def measure_tiled(iters: int, in_size: int = 2048, tile: int = 528,
@@ -255,12 +303,15 @@ def measure_tiled(iters: int, in_size: int = 2048, tile: int = 528,
     out = fn(params, padded)  # compile + warmup
     assert out.shape[0] == ny * core * 4
     float(jnp.mean(out[:8, :8]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, padded)
-        float(jnp.mean(out[:8, :8]))  # sync, scalar fetch only
-    dt = time.perf_counter() - t0
-    return (in_size * 4) ** 2 / 1e6 * iters / dt
+
+    def timed_once() -> float:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(params, padded)
+            float(jnp.mean(out[:8, :8]))  # sync, scalar fetch only
+        return (in_size * 4) ** 2 / 1e6 * iters / (time.perf_counter() - t0)
+
+    return _median_rate(timed_once)
 
 
 # Estimated A100 denominators — see BASELINE PROVENANCE in the module
@@ -279,15 +330,26 @@ _BASELINES = {
 }
 
 
+# The measured XLA/Mosaic conv ceiling for THIS architecture's shapes on the
+# v5e: 3x3 convs at the reference's 64/32-wide channels run 46-52 TF/s
+# in-graph (tools/perf_lab.py micro-probes; docs/ROADMAP.md round-2/4 tables
+# — wider channels reach 106-108 TF/s, so the gap to the 197 TF/s chip peak
+# is the architecture's narrow channel count, not this implementation).
+# ceiling_fraction = effective_tflops / this number is the machine-readable
+# "how close to the toolchain's speed-of-light for these shapes" answer;
+# peak_fraction vs 197 TF/s alone reads as 4x headroom that measurably does
+# not exist (int8/NCHW/Winograd/lane-repack/Pallas all probed dead).
+_XLA_CONV_CEILING_TFLOPS = 48.0
+
+
 def _line(mode: str, metric: str, value: float, unit: str, **extra) -> dict:
     denom, note = _BASELINES[mode]
     out = {"metric": metric, "value": round(value, 3), "unit": unit,
            "vs_baseline": round(value / denom, 3), "baseline_note": note}
     # Driver-legible ceiling evidence: effective TF/s from counted FLOPs of
-    # the exact compiled program, and the fraction of the chip's bf16 peak.
-    # (The measured XLA conv ceiling for this architecture's 64/32-wide
-    # shapes is ~46-52 TF/s — see docs/ROADMAP.md — so peak_fraction ~0.25
-    # at the flagship rate IS the compiler ceiling, not headroom.)
+    # the exact compiled program, the fraction of the chip's bf16 peak, and
+    # the fraction of the MEASURED conv ceiling for these shapes (see
+    # _XLA_CONV_CEILING_TFLOPS — the honest denominator).
     if mode in _FLOPS_PER_UNIT:
         eff = value * _FLOPS_PER_UNIT[mode] / 1e12
         out["effective_tflops"] = round(eff, 2)
@@ -295,6 +357,10 @@ def _line(mode: str, metric: str, value: float, unit: str, **extra) -> dict:
         if peak:
             out["peak_fraction"] = round(eff / peak, 4)
             out["chip_peak_tflops"] = peak
+        out["ceiling_fraction"] = round(eff / _XLA_CONV_CEILING_TFLOPS, 4)
+        out["ceiling_note"] = ("measured XLA conv ceiling for 64/32-wide "
+                               "3x3 shapes on this chip: ~48 TF/s "
+                               "(docs/ROADMAP.md)")
     out.update(extra)
     return out
 
@@ -318,22 +384,30 @@ def main() -> None:
         # 512px 13.8, 128px 19.5 — tools/tail_exp sweep, round 3)
         a.batch = 16
 
+    # a contended capture flags every line so a regressed number is
+    # self-describing (round-4 lesson: 12.9 MP/s recorded mid-training)
+    extra_flags = {"contended": True} if wait_for_idle_chip() else {}
+
     if a.mode == "inference":
         print(json.dumps(_line("inference",
                                "x4_sr_output_megapixels_per_sec_per_chip",
-                               measure(a.batch, a.lr_size, a.iters), "MP/s")))
+                               measure(a.batch, a.lr_size, a.iters), "MP/s",
+                               **extra_flags)))
         return
     if a.mode == "train":
         print(json.dumps(_line("train", "x4_train_images_per_sec_per_chip",
-                               measure_train(a.batch, a.iters), "imgs/s")))
+                               measure_train(a.batch, a.iters), "imgs/s",
+                               **extra_flags)))
         return
     if a.mode == "gan":
         print(json.dumps(_line("gan", "x4_gan_train_images_per_sec_per_chip",
-                               measure_gan(a.batch, a.iters), "imgs/s")))
+                               measure_gan(a.batch, a.iters), "imgs/s",
+                               **extra_flags)))
         return
     if a.mode == "tiled":
         print(json.dumps(_line("tiled", "x4_tiled_2k_to_8k_megapixels_per_sec",
-                               measure_tiled(max(1, a.iters // 3)), "MP/s")))
+                               measure_tiled(max(1, a.iters // 3)), "MP/s",
+                               **extra_flags)))
         return
 
     # --mode all (default): measure everything, print the flagship line LAST
@@ -359,11 +433,11 @@ def main() -> None:
         except Exception as exc:  # a failed stage must not hide the others
             print(f"# {mode} stage failed: {type(exc).__name__}: {exc}")
             continue
-        print(json.dumps(_line(mode, metric, value, unit)))
+        print(json.dumps(_line(mode, metric, value, unit, **extra_flags)))
         extras[extra_key] = round(value, 3)
     print(json.dumps(_line("inference",
                            "x4_sr_output_megapixels_per_sec_per_chip",
-                           flagship, "MP/s", **extras)))
+                           flagship, "MP/s", **extras, **extra_flags)))
 
 
 if __name__ == "__main__":

@@ -218,6 +218,28 @@ class TrainConfig:
     skip_nonfinite_updates: bool = True
     grad_reject_limit: float = 500.0
     rollback_after: int = 4
+    # adaptive reject ceiling: reject any step whose global grad norm exceeds
+    # grad_reject_mult x a running average of ACCEPTED norms (guard.gnorm_ref)
+    # — the healthy band moves as loss falls, so the fixed limit alone admits
+    # divergence-ramp steps at 2-10x healthy (the round-4 storm; see
+    # train/guard.py).  0 disables, restoring the fixed-limit-only guard.
+    grad_reject_mult: float = 8.0
+
+    # Training-loss clamp mode (the round-4 root cause fix; full rationale in
+    # models/rrdbnet.py::Generator.clamp):
+    #   "none" — loss on the RAW pre-clamp output (basicsr-upstream RRDBNet
+    #            behavior; default).  The reference's in-forward clamp makes
+    #            the L1 loss blind to output magnitude once pixels saturate,
+    #            removing the restoring force that keeps the RRDB trunk
+    #            sub-critical — the measured InEnv10 collapse.
+    #   "st"   — clamped values, straight-through gradient (rounds 1-4).
+    #   "hard" — the reference's exact clamp (/root/reference/model.py:270).
+    # Eval/inference always clamp; this only affects the training loss path.
+    train_clamp: str = "none"
+
+    # linear LR warmup over the first N steps (0 = reference parity: none);
+    # the measured fresh-init divergence fired at step 106 of a cold start
+    lr_warmup_steps: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

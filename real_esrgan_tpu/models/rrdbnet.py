@@ -304,6 +304,19 @@ class Generator(nn.Module):
     # straight-through gradient for the output clamp (values identical;
     # avoids the reference's saturation training trap — see _st_clamp)
     st_clamp: bool = True
+    # clamp=False returns the RAW pre-clamp output (basicsr-upstream
+    # RRDBNet behavior: no clamp in forward at all).  Training losses
+    # should run on this: the reference's in-forward clamp
+    # (/root/reference/model.py:270) makes the L1 loss INDIFFERENT to
+    # output magnitude once a pixel saturates — clamp(5.0)=1.0 scores zero
+    # loss against GT 1.0 and contributes zero gradient (hard OR
+    # straight-through), so nothing constrains the trunk's gain in
+    # saturating directions and it can random-walk super-critical (the
+    # measured InEnv10 collapse: forward 1e21 with params maxabs 0.19,
+    # docs/ROUND4_NOTES.md).  Unclamped L1 penalizes overshoot linearly —
+    # the restoring force the clamp removes.  Eval/inference keep
+    # clamp=True (output parity with the reference).
+    clamp: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -342,4 +355,6 @@ class Generator(nn.Module):
         out = _lrelu(_conv3x3(out, self.channels, "conv3", self.dtype))
         out = _conv3x3(out, self.out_channels, "conv4", self.dtype)
         out = out.astype(jnp.float32)
+        if not self.clamp:
+            return out
         return _st_clamp(out) if self.st_clamp else jnp.clip(out, 0.0, 1.0)

@@ -37,7 +37,7 @@ from real_esrgan_tpu.models.vgg import VGG19Features, normalize_imagenet
 from real_esrgan_tpu.models.ema import ema_init
 from real_esrgan_tpu.ops.degradation import degrade
 from real_esrgan_tpu.ops.usm import gaussian_kernel_1d, usm_sharpen
-from real_esrgan_tpu.train.esrnet import harden_optimizer
+from real_esrgan_tpu.train.esrnet import harden_optimizer, train_forward_model
 from real_esrgan_tpu.train.guard import GuardState, guard_init, guarded_update
 from real_esrgan_tpu.train.schedule import multistep_lr
 
@@ -69,7 +69,8 @@ def build_models(model_cfg: ModelConfig, cfg: GanTrainConfig):
 
 def build_optimizers(cfg: GanTrainConfig, steps_per_epoch: int):
     schedule = multistep_lr(cfg.lr, cfg.effective_lr_milestones, cfg.lr_gamma,
-                            steps_per_epoch)
+                            steps_per_epoch,
+                            warmup_steps=getattr(cfg, "lr_warmup_steps", 0))
     g_tx = harden_optimizer(
         optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1]), cfg)
     d_tx = harden_optimizer(
@@ -99,6 +100,13 @@ def make_gan_train_step(generator, discriminator, vgg, vgg_params,
     content_weights = jnp.asarray(cfg.content_weights, jnp.float32)
     usm_kernel = gaussian_kernel_1d(dcfg.usm_radius, 0.0)  # host numpy, static
     bce = optax.sigmoid_binary_cross_entropy
+    # G's training forward runs unclamped by default (train_clamp="none"):
+    # the in-forward clamp removes the pixel loss's restoring force against
+    # trunk-gain explosion (see Generator.clamp).  The raw output also feeds
+    # the content loss and D, as basicsr-upstream does during training.
+    train_generator = train_forward_model(
+        generator, getattr(cfg, "train_clamp", "none"))
+    reject_mult = getattr(cfg, "grad_reject_mult", 8.0)
 
     # VGG19Features expects ImageNet-normalized inputs; TrunkFeatures (the
     # frozen stage-1 trunk backbone) consumes raw [0, 1] generator inputs.
@@ -112,7 +120,7 @@ def make_gan_train_step(generator, discriminator, vgg, vgg_params,
         return jnp.sum(content_weights * taps)
 
     def g_loss_fn(g_params, d_params, d_stats, lr_b, hr_b):
-        sr = generator.apply({"params": g_params}, lr_b)
+        sr = train_generator.apply({"params": g_params}, lr_b)
         sr_sharp = usm_sharpen(sr, usm_kernel, dcfg.usm_weight, dcfg.usm_threshold)
         pixel = cfg.pixel_weight * jnp.mean(jnp.abs(sr_sharp - hr_b))
         content = content_loss(sr_sharp, hr_b)
@@ -161,7 +169,8 @@ def make_gan_train_step(generator, discriminator, vgg, vgg_params,
             g_params, g_ema, g_opt, g_guard, g_info = guarded_update(
                 g_tx, g_grads, state.g_opt, state.g_params, state.g_ema,
                 state.g_guard, reject_limit=cfg.grad_reject_limit,
-                rollback_after=cfg.rollback_after, ema_decay=cfg.ema_decay)
+                rollback_after=cfg.rollback_after, ema_decay=cfg.ema_decay,
+                reject_mult=reject_mult)
         else:
             g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
             g_params = optax.apply_updates(state.g_params, g_updates)
@@ -176,11 +185,15 @@ def make_gan_train_step(generator, discriminator, vgg, vgg_params,
         (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params, d_stats_after_g, sr_detached, hr_b)
         if cfg.skip_nonfinite_updates:
-            # reject-only (rollback_after=0): D has no EMA to roll back to
+            # reject-only (rollback_after=0): D has no EMA to roll back to.
+            # Its lr_scale still backs off on an 8-rejection streak, and the
+            # adaptive reject_mult ceiling tracks D's OWN gradient band (the
+            # fixed limit was calibrated on G's), so D cannot silently freeze.
             d_params, _, d_opt, d_guard, d_info = guarded_update(
                 d_tx, d_grads, state.d_opt, state.d_params, state.d_params,
                 state.d_guard, reject_limit=cfg.grad_reject_limit,
-                rollback_after=0, ema_decay=cfg.ema_decay)
+                rollback_after=0, ema_decay=cfg.ema_decay,
+                reject_mult=reject_mult)
         else:
             d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
             d_params = optax.apply_updates(state.d_params, d_updates)

@@ -56,9 +56,23 @@ def build_optimizer(train_cfg: TrainConfig, steps_per_epoch: int):
     skip-on-nonfinite (see TrainConfig.grad_clip_norm for the failure this
     prevents)."""
     schedule = step_lr(train_cfg.lr, train_cfg.effective_lr_step_size, train_cfg.lr_gamma,
-                       steps_per_epoch)
+                       steps_per_epoch,
+                       warmup_steps=getattr(train_cfg, "lr_warmup_steps", 0))
     adam = optax.adam(schedule, b1=train_cfg.betas[0], b2=train_cfg.betas[1])
     return harden_optimizer(adam, train_cfg)
+
+
+def train_forward_model(model: Generator, clamp_mode: str) -> Generator:
+    """The generator variant the TRAINING LOSS runs on.
+
+    clamp_mode (TrainConfig.train_clamp): "none" returns the raw pre-clamp
+    output (basicsr-upstream; the restoring-force fix — see Generator.clamp),
+    "st" the straight-through clamp, "hard" the reference's exact clamp.
+    Eval paths keep using ``model`` itself (clamped output).
+    """
+    if clamp_mode not in ("none", "st", "hard"):
+        raise ValueError(f"train_clamp must be none|st|hard, got {clamp_mode!r}")
+    return model.clone(clamp=clamp_mode != "none", st_clamp=clamp_mode == "st")
 
 
 def harden_optimizer(tx, train_cfg: TrainConfig):
@@ -98,15 +112,20 @@ def make_train_step(model: Generator, tx, geo: PipelineGeometry,
                     kcfg: KernelSynthesisConfig, dcfg: DegradationConfig,
                     ema_decay: float, *, reject_limit: float = 500.0,
                     rollback_after: int = 4,
-                    guard_updates: bool = True) -> Callable:
+                    guard_updates: bool = True,
+                    reject_mult: float = 8.0,
+                    clamp_mode: str = "none") -> Callable:
     """Returns jitted (state, hr_uint8, key) -> (state, metrics).
 
     guard_updates enables the rejection + EMA-rollback guard (train/guard.py)
-    around the optimizer; reject_limit / rollback_after tune it.
+    around the optimizer; reject_limit / rollback_after / reject_mult tune it.
+    clamp_mode selects the training-loss output clamp (see
+    train_forward_model); eval always clamps.
     """
+    train_model = train_forward_model(model, clamp_mode)
 
     def loss_fn(params, lr_batch, hr_batch):
-        sr = model.apply({"params": params}, lr_batch)
+        sr = train_model.apply({"params": params}, lr_batch)
         return jnp.mean(jnp.abs(sr - hr_batch))
 
     def train_step(state: TrainState, hr_uint8: jnp.ndarray, key: jax.Array,
@@ -121,7 +140,8 @@ def make_train_step(model: Generator, tx, geo: PipelineGeometry,
             params, ema_params, opt_state, guard, info = guarded_update(
                 tx, grads, state.opt_state, state.params, state.ema_params,
                 state.guard, reject_limit=reject_limit,
-                rollback_after=rollback_after, ema_decay=ema_decay)
+                rollback_after=rollback_after, ema_decay=ema_decay,
+                reject_mult=reject_mult)
         else:
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -143,6 +163,7 @@ def make_train_step(model: Generator, tx, geo: PipelineGeometry,
         ops/degradation.degrade); one compiled program per combination."""
         return jitted(state, hr_uint8, key, bool(up1), bool(up2))
 
+    step.jitted = jitted  # for compile-only gates (.lower without execute)
     return step
 
 

@@ -396,3 +396,92 @@ def test_lr_scale_multiplies_update_magnitude():
         np.testing.assert_allclose(np.asarray(ph) - np.asarray(p0),
                                    (np.asarray(pf) - np.asarray(p0)) * 0.5,
                                    rtol=1e-6, atol=1.2e-7, err_msg=str(ka))
+
+
+def test_adaptive_limit_rejects_divergence_ramp_steps():
+    """Round-4 storm signature: with healthy norms ~10, steps at GNorm
+    100-500 (under the fixed 500 limit, 10x the healthy band) kept being
+    ACCEPTED and re-walked the trunk to the gain cliff.  Once gnorm_ref has
+    history, reject_mult * ref must reject them."""
+    tx = build_optimizer(TrainConfig(), steps_per_epoch=10)
+    opt_state = tx.init(PARAMS)
+    guard = guard_init()
+    # build history at ~norm(0.5 grads): global norm ~2.24
+    for _ in range(5):
+        params, ema, opt_state, guard, info = _step(
+            tx, _grads(0.5), opt_state, PARAMS, EMA, guard)
+        assert float(info["rejected"]) == 0.0
+    ref = float(guard.gnorm_ref)
+    assert ref > 0.0
+    # a step at 40x the reference norm is under the fixed 500 limit but far
+    # over reject_mult (8) x ref — must be rejected
+    ramp = _grads(20.0)  # global norm ~89.4 < 500
+    params, _, _, guard, info = _step(
+        tx, ramp, opt_state, PARAMS, EMA, guard)
+    assert float(info["rejected"]) == 1.0
+    assert _tree_equal(params, PARAMS)
+    # rejected steps must NOT inflate the reference
+    assert float(guard.gnorm_ref) == ref
+
+
+def test_adaptive_limit_inactive_without_history():
+    """Before any accepted step, gnorm_ref==0 and only the fixed limit
+    applies — a cold start's first (often larger) gradients aren't rejected."""
+    tx = build_optimizer(TrainConfig(), steps_per_epoch=10)
+    guard = guard_init()
+    params, _, _, guard, info = _step(
+        tx, _grads(10.0), tx.init(PARAMS), PARAMS, EMA, guard)
+    assert float(info["rejected"]) == 0.0
+    assert float(guard.gnorm_ref) > 0.0  # seeded by the first accepted norm
+
+
+def test_reject_mult_zero_disables_adaptive_limit():
+    tx = build_optimizer(TrainConfig(), steps_per_epoch=10)
+    opt_state = tx.init(PARAMS)
+    guard = guard_init()
+    for _ in range(3):
+        params, ema, opt_state, guard, _ = _step(
+            tx, _grads(0.5), opt_state, PARAMS, EMA, guard, reject_mult=0.0)
+    # 40x the recent norm, still under the fixed limit: accepted
+    params, _, _, guard, info = _step(
+        tx, _grads(20.0), opt_state, PARAMS, EMA, guard, reject_mult=0.0)
+    assert float(info["rejected"]) == 0.0
+
+
+def test_rollback_free_guard_backs_off_lr_scale_on_streak():
+    """ADVICE r4: the discriminator guard (rollback_after=0) had no escape
+    path — persistent rejections froze D forever at full lr_scale.  An
+    8-rejection streak must now halve lr_scale (and reset the streak)."""
+    tx = build_optimizer(TrainConfig(), steps_per_epoch=10)
+    opt_state = tx.init(PARAMS)
+    guard = guard_init()
+    for i in range(8):
+        params, _, opt_state, guard, _ = _step(
+            tx, _grads(jnp.inf), opt_state, PARAMS, PARAMS, guard,
+            rollback_after=0)
+    assert float(guard.lr_scale) == 0.5
+    assert int(guard.reject_streak) == 0
+    assert rollback_count(guard) == 0  # no rollback ever happens
+
+
+def test_guard_dict_roundtrip_and_missing_fields():
+    from real_esrgan_tpu.train.guard import (
+        GuardState, guard_from_dict, guard_to_dict,
+    )
+
+    guard = guard_init().replace(
+        rejected_total=jnp.int32(7), lr_scale=jnp.float32(0.25),
+        gnorm_ref=jnp.float32(12.5))
+    d = guard_to_dict(guard)
+    back = guard_from_dict({k: np.asarray(v) for k, v in d.items()})
+    assert int(back.rejected_total) == 7
+    assert float(back.lr_scale) == 0.25
+    assert float(back.gnorm_ref) == 12.5
+    # an old checkpoint without gnorm_ref: fresh default, no scramble
+    d.pop("gnorm_ref")
+    back = guard_from_dict(d)
+    assert float(back.gnorm_ref) == 0.0
+    assert float(back.lr_scale) == 0.25
+    # no dict at all (pre-round-5 checkpoints): fresh init
+    fresh = guard_from_dict(None)
+    assert float(fresh.lr_scale) == 1.0

@@ -50,6 +50,14 @@ def main() -> None:
     p.add_argument("--total-epochs", type=int, default=700,
                    help="cfg.epochs as the real run set it (LR schedule)")
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=0.0,
+                   help="override cfg.lr (A/B the step-size regime)")
+    p.add_argument("--warmup-steps", type=int, default=-1,
+                   help="override cfg.lr_warmup_steps (-1 = config)")
+    p.add_argument("--train-clamp", default="",
+                   choices=("", "none", "st", "hard"),
+                   help="training-loss clamp mode (A/B the round-5 fix; "
+                        "'' = config default)")
     p.add_argument("--out", default="/tmp/nan_probe")
     a = p.parse_args()
     os.makedirs(a.out, exist_ok=True)
@@ -71,6 +79,12 @@ def main() -> None:
     cfg = dataclasses.replace(run_config.train_esrnet,
                               epochs=a.total_epochs,
                               train_image_dir=a.train_dir)
+    if a.lr:
+        cfg = dataclasses.replace(cfg, lr=a.lr)
+    if a.warmup_steps >= 0:
+        cfg = dataclasses.replace(cfg, lr_warmup_steps=a.warmup_steps)
+    if a.train_clamp:
+        cfg = dataclasses.replace(cfg, train_clamp=a.train_clamp)
 
     mesh = make_mesh()
     train_ds = TrainImageDataset(cfg.train_image_dir, geo.hr_size,
@@ -84,7 +98,9 @@ def main() -> None:
     tx = build_optimizer(cfg, steps_per_epoch)
     state = init_state(jax.random.PRNGKey(cfg.seed), model, tx, geo)
     state = jax.device_put(state, replicated_sharding(mesh))
-    train_step = make_train_step(model, tx, geo, kcfg, dcfg, cfg.ema_decay)
+    train_step = make_train_step(model, tx, geo, kcfg, dcfg, cfg.ema_decay,
+                                 reject_mult=cfg.grad_reject_mult,
+                                 clamp_mode=cfg.train_clamp)
     key = jax.random.PRNGKey(cfg.seed + 1)
     data_sharding = batch_sharding(mesh)
 
@@ -106,8 +122,11 @@ def main() -> None:
         report["lr_minmax"] = [float(lr_np.min()), float(lr_np.max())]
         report["hr_minmax"] = [float(hr_np.min()), float(hr_np.max())]
 
+        from real_esrgan_tpu.train.esrnet import train_forward_model
+        probe_model = train_forward_model(model, cfg.train_clamp)
+
         def loss_fn(params):
-            sr = model.apply({"params": params}, lr_b)
+            sr = probe_model.apply({"params": params}, lr_b)
             return jnp.mean(jnp.abs(sr - hr_b))
 
         loss, grads = jax.jit(jax.value_and_grad(loss_fn))(prev_state.params)

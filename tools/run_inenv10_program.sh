@@ -13,6 +13,12 @@ cd "$(dirname "$0")/.."
 SCORES=/tmp/inenv10_scores.jsonl
 : > "$SCORES"
 
+# Chip lock: bench.py refuses to record numbers while this run occupies the
+# TPU (round 4's acceptance bench was captured mid-training and regressed).
+LOCK=/tmp/tpu_busy.lock
+echo "inenv10 $$ $(date +%s)" > "$LOCK"
+trap 'rm -f "$LOCK"' EXIT
+
 note() { echo "[inenv10 $(date +%H:%M:%S)] $*"; }
 
 score() { # score <tag> <weights> [extra eval_pair args...]
@@ -50,6 +56,14 @@ for f in sorted(os.listdir(src)):
 PYEOF
 fi
 
+# Round-5 stage-1 regime (the divergence fixes, docs/ROUND4_NOTES.md):
+#   train_clamp "none" (config default) — loss on the unclamped output, the
+#     restoring force against trunk-gain explosion;
+#   lr 1e-4 — bs16 carries 3x the reference's bs48 gradient noise at the
+#     same lr, and every InEnv10 collapse happened at 2e-4/bs16;
+#   warmup 500 steps (~18 epochs) — the measured cold-start divergence fired
+#     at step 106;
+#   abort-on-storm — a diverged run exits rc=3 instead of burning 4 hours.
 note "stage 1: ESRNet from scratch on InEnv10 (elastic resume auto)"
 timeout 14400 python train_realesrnet.py \
     --train-dir data/InEnv10/train --valid-dir data/InEnv10/valid \
@@ -57,6 +71,7 @@ timeout 14400 python train_realesrnet.py \
     --test-hr-dir data/InEnv10/eval/GTmod4 \
     --exp-name RealESRNet_inenv10 \
     --resume auto --epochs 700 --batch-size 16 \
+    --lr 1e-4 --warmup-steps 500 --abort-on-storm \
     --checkpoint-frequency 25 --no-tensorboard \
     > /tmp/inenv10_s1.log 2>&1
 rc=$?
@@ -79,6 +94,7 @@ timeout 9600 python train_realesrgan.py \
     --test-hr-dir data/InEnv10/eval/GTmod4 \
     --exp-name RealESRGAN_inenv10 \
     --resume results/RealESRNet_inenv10/g_best --content-backbone trunk \
+    --lr 5e-5 --warmup-steps 200 --abort-on-storm \
     --epochs 70 --batch-size 16 --checkpoint-frequency 14 --no-tensorboard \
     > /tmp/inenv10_s2.log 2>&1
 rc=$?

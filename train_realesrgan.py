@@ -38,6 +38,7 @@ from real_esrgan_tpu.train.esrgan import (
 from real_esrgan_tpu.train.esrnet import (
     make_eval_fn, notfinite_count, rollback_count,
 )
+from real_esrgan_tpu.train.guard import guard_from_dict, guard_to_dict
 from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
 from train_realesrnet import SyntheticHRDataset, validate
 
@@ -103,6 +104,10 @@ def main(args) -> None:
         cfg = dataclasses.replace(cfg, exp_name=args.exp_name)
     if getattr(args, "lr", 0.0):
         cfg = dataclasses.replace(cfg, lr=args.lr)
+    if getattr(args, "warmup_steps", -1) >= 0:
+        cfg = dataclasses.replace(cfg, lr_warmup_steps=args.warmup_steps)
+    if getattr(args, "train_clamp", ""):
+        cfg = dataclasses.replace(cfg, train_clamp=args.train_clamp)
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
@@ -199,6 +204,7 @@ def main(args) -> None:
                 g_opt=ckpt_lib.restore_like(jax.device_get(state.g_opt),
                                             tree["opt_state"], "g_opt",
                                             on_mismatch="template"),
+                g_guard=guard_from_dict(tree.get("guard")),
                 step=jnp.asarray(tree["step"], jnp.int32))
             start_epoch = int(tree.get("epoch", 0))
             best_niqe = float(tree.get("best_niqe", 100.0))
@@ -212,7 +218,8 @@ def main(args) -> None:
                                               tree["batch_stats"], "d_stats"),
                 d_opt=ckpt_lib.restore_like(jax.device_get(state.d_opt),
                                             tree["opt_state"], "d_opt",
-                                            on_mismatch="template"))
+                                            on_mismatch="template"),
+                d_guard=guard_from_dict(tree.get("guard")))
             print(f"Resumed discriminator from `{resume_d}`.")
     if jax.process_count() > 1:
         meta = np.asarray([float(start_epoch), best_niqe])
@@ -251,6 +258,11 @@ def main(args) -> None:
         writer = SummaryWriter(os.path.join("samples", "logs", cfg.exp_name))
 
     epochs = cfg.epochs
+    # Storm escalation: see train_realesrnet.py — trailing-window G rejection
+    # telemetry escalates to a NOT-PROGRESSING verdict (+ rc=3 abort on flag).
+    from collections import deque
+    storm_hist = deque(maxlen=32)
+    lr_scale_floor = 1.0 / 64.0
     data_sharding = batch_sharding(mesh)
     # Lead-host async checkpoint writer (g_* and d_* saved as one unit).
     saver = ckpt_lib.AsyncSaver() if (cfg.async_checkpoint and lead) else None
@@ -283,17 +295,22 @@ def main(args) -> None:
             if batch_index % cfg.print_frequency == 0:
                 m = {k: float(v) / window_n for k, v in acc.items()}
                 n = batch * window_n
+                window_steps = window_n
                 acc, window_n = None, 0
                 meters["Pixel"].update(m["pixel"], n)
                 meters["Content"].update(m["content"], n)
                 meters["Adversarial"].update(m["adversarial"], n)
                 meters["D(HR)"].update(m["d_hr_prob"], n)
                 meters["D(SR)"].update(m["d_sr_prob"], n)
-                rejected = m.get("g_rejected", 0.0) + m.get("d_rejected", 0.0)
+                # m values are window MEANS — scale back to counts so the log
+                # matches the esrnet trainer's semantics
+                g_rejected = m.get("g_rejected", 0.0) * window_steps
+                rejected = g_rejected + m.get("d_rejected", 0.0) * window_steps
                 if rejected or not all(np.isfinite(v) for v in
                                        (m["g_loss"], m["d_loss"],
                                         m["g_grad_norm"], m["d_grad_norm"])):
-                    print(f"WARNING: rejected update(s) in window (G loss "
+                    print(f"WARNING: {rejected:.0f} rejected update(s) in "
+                          f"window (G loss "
                           f"{m['g_loss']}, D loss {m['d_loss']}, grad norms "
                           f"G {m['g_grad_norm']} / D {m['d_grad_norm']}); "
                           f"{notfinite_count(state.g_guard)}/"
@@ -303,6 +320,24 @@ def main(args) -> None:
                           f"{float(state.g_guard.lr_scale):.4f} — the guard "
                           "is holding training on healthy weights.",
                           flush=True)
+                storm_hist.append((window_steps, g_rejected))
+                trail_steps = sum(s for s, _ in storm_hist)
+                trail_rej = sum(r for _, r in storm_hist)
+                g_scale = float(state.g_guard.lr_scale)
+                if trail_steps >= 200 and trail_rej and (
+                        trail_rej / trail_steps > 0.10
+                        or (g_scale <= lr_scale_floor + 1e-9
+                            and trail_rej / trail_steps > 0.02)):
+                    print(f"STORM: training is NOT progressing — "
+                          f"{trail_rej:.0f}/{trail_steps} recent G updates "
+                          f"rejected ({100 * trail_rej / trail_steps:.1f}%), "
+                          f"G lr_scale {g_scale:.4f}.", flush=True)
+                    if getattr(args, "abort_on_storm", False):
+                        if saver is not None:
+                            saver.wait()
+                        print("Aborting (rc=3): --abort-on-storm set.",
+                              flush=True)
+                        raise SystemExit(3)
                 if writer is not None:
                     iters = batch_index + epoch * steps_per_epoch + 1
                     writer.add_scalar("Train/D_Loss", m["d_loss"], iters)
@@ -356,11 +391,13 @@ def main(args) -> None:
                      "step": state.step,
                      "params": state.g_params,
                      "ema_params": ema_host,
-                     "opt_state": state.g_opt}
+                     "opt_state": state.g_opt,
+                     "guard": guard_to_dict(state.g_guard)}
         d_payload = {"epoch": epoch + 1, "best_niqe": best_niqe,
                      "params": state.d_params,
                      "batch_stats": state.d_stats,
-                     "opt_state": state.d_opt}
+                     "opt_state": state.d_opt,
+                     "guard": guard_to_dict(state.d_guard)}
         g_path = os.path.join(samples_dir, f"g_epoch_{epoch + 1}")
         d_path = os.path.join(samples_dir, f"d_epoch_{epoch + 1}")
         # last copies track every saving epoch (reference
@@ -390,6 +427,15 @@ if __name__ == "__main__":
     parser.add_argument("--batch-size", type=int, default=0)
     parser.add_argument("--lr", type=float, default=0.0,
                         help="override the config learning rate")
+    parser.add_argument("--warmup-steps", type=int, default=-1,
+                        help="linear LR warmup steps (-1 = config default)")
+    parser.add_argument("--train-clamp", type=str, default="",
+                        choices=("", "none", "st", "hard"),
+                        help="G training-loss output clamp mode "
+                             "(default: config; see TrainConfig.train_clamp)")
+    parser.add_argument("--abort-on-storm", action="store_true",
+                        help="exit rc=3 when the guard reports a rollback "
+                             "storm instead of burning the remaining budget")
     parser.add_argument("--resume", type=str, default="")
     parser.add_argument("--resume-g", type=str, default="")
     parser.add_argument("--resume-d", type=str, default="")

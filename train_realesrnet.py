@@ -36,6 +36,7 @@ from real_esrgan_tpu.train.esrnet import (
     TrainState, build_generator, build_optimizer, init_state, make_eval_fn,
     make_train_step, notfinite_count, rollback_count,
 )
+from real_esrgan_tpu.train.guard import guard_from_dict, guard_to_dict
 from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
 
 
@@ -147,6 +148,10 @@ def main(args) -> None:
         cfg = dataclasses.replace(cfg, test_hr_image_dir=args.test_hr_dir)
     if getattr(args, "lr", 0.0):
         cfg = dataclasses.replace(cfg, lr=args.lr)
+    if getattr(args, "warmup_steps", -1) >= 0:
+        cfg = dataclasses.replace(cfg, lr_warmup_steps=args.warmup_steps)
+    if getattr(args, "train_clamp", ""):
+        cfg = dataclasses.replace(cfg, train_clamp=args.train_clamp)
     exp_name = getattr(args, "exp_name", "") or run_config.exp_name
 
     mesh = make_mesh()
@@ -212,7 +217,9 @@ def main(args) -> None:
                 opt_state=ckpt_lib.restore_like(host_state.opt_state,
                                                 tree["opt_state"], "opt_state",
                                                 on_mismatch="template"),
-                guard=host_state.guard,  # telemetry restarts at zero on resume
+                # lr_scale is control state: resume keeps the learned backoff
+                # (older checkpoints without a guard entry start fresh)
+                guard=guard_from_dict(tree.get("guard")),
             )
             meta = np.asarray([float(tree.get("epoch", 0)),
                                float(tree.get("best_niqe", 100.0))])
@@ -227,7 +234,8 @@ def main(args) -> None:
     train_step = make_train_step(
         model, tx, geo, kcfg, dcfg, cfg.ema_decay,
         reject_limit=cfg.grad_reject_limit, rollback_after=cfg.rollback_after,
-        guard_updates=cfg.skip_nonfinite_updates)
+        guard_updates=cfg.skip_nonfinite_updates,
+        reject_mult=cfg.grad_reject_mult, clamp_mode=cfg.train_clamp)
     eval_fn = make_eval_fn(model)
     niqe_model = NIQE(crop_border=model_cfg.upscale_factor)
 
@@ -243,6 +251,13 @@ def main(args) -> None:
     epochs = cfg.epochs
     data_sharding = batch_sharding(mesh)
     key = jax.random.PRNGKey(cfg.seed + 1)
+    # Storm escalation (round-4 lesson: a dead run burned its full wall-clock
+    # budget printing per-window WARNINGs).  Trailing-window rejection telemetry
+    # turns into a loud NOT-PROGRESSING verdict, and --abort-on-storm exits
+    # with rc=3 so a driving script can stop paying for a diverged run.
+    from collections import deque
+    storm_hist = deque(maxlen=32)   # (steps, rejections) per closed window
+    lr_scale_floor = 1.0 / 64.0
     # Lead-host async checkpoint writer: overlaps epoch save IO (~1 min on a
     # relayed TPU) with the next epoch's compute.
     saver = ckpt_lib.AsyncSaver() if (cfg.async_checkpoint and lead) else None
@@ -285,6 +300,7 @@ def main(args) -> None:
                 losses.update(loss, batch * window_n)
                 gnorms.update(gnorm, batch * window_n)
                 rejected = float(rej_window) if rej_window is not None else 0.0
+                window_steps = window_n
                 loss_window, gn_window, rej_window, window_n = None, None, None, 0
                 if rejected or not np.isfinite(loss) or not np.isfinite(gnorm):
                     print(f"WARNING: {rejected:.0f} rejected update(s) in "
@@ -294,6 +310,27 @@ def main(args) -> None:
                           f"lr_scale {float(state.guard.lr_scale):.4f} — the "
                           "guard is holding training on healthy weights.",
                           flush=True)
+                storm_hist.append((window_steps, rejected))
+                trail_steps = sum(s for s, _ in storm_hist)
+                trail_rej = sum(r for _, r in storm_hist)
+                lr_scale_now = float(state.guard.lr_scale)
+                if trail_steps >= 200 and trail_rej and (
+                        trail_rej / trail_steps > 0.10
+                        or (lr_scale_now <= lr_scale_floor + 1e-9
+                            and trail_rej / trail_steps > 0.02)):
+                    print(f"STORM: training is NOT progressing — "
+                          f"{trail_rej:.0f}/{trail_steps} recent updates "
+                          f"rejected ({100 * trail_rej / trail_steps:.1f}%), "
+                          f"lr_scale {lr_scale_now:.4f}. The guard is in a "
+                          "rollback storm; this run will not produce a "
+                          "usable model at the current settings.", flush=True)
+                    if getattr(args, "abort_on_storm", False):
+                        if saver is not None:
+                            saver.wait()
+                        print("Aborting (rc=3): --abort-on-storm set. Resume "
+                              "from the last healthy checkpoint with a lower "
+                              "--lr or different guard settings.", flush=True)
+                        raise SystemExit(3)
                 if writer is not None:
                     writer.add_scalar("Train/Loss", loss,
                                       batch_index + epoch * steps_per_epoch + 1)
@@ -357,6 +394,7 @@ def main(args) -> None:
             "params": state.params,
             "ema_params": ema_host,
             "opt_state": state.opt_state,
+            "guard": guard_to_dict(state.guard),
         }
         epoch_path = os.path.join(samples_dir, f"g_epoch_{epoch + 1}")
         # g_last tracks every saving epoch (reference train_realesrnet.py:124-129)
@@ -381,6 +419,16 @@ if __name__ == "__main__":
     parser.add_argument("--batch-size", type=int, default=0)
     parser.add_argument("--lr", type=float, default=0.0,
                         help="override the config learning rate")
+    parser.add_argument("--warmup-steps", type=int, default=-1,
+                        help="linear LR warmup steps (-1 = config default)")
+    parser.add_argument("--train-clamp", type=str, default="",
+                        choices=("", "none", "st", "hard"),
+                        help="training-loss output clamp mode "
+                             "(default: config; see TrainConfig.train_clamp)")
+    parser.add_argument("--abort-on-storm", action="store_true",
+                        help="exit rc=3 when the guard reports a rollback "
+                             "storm (trailing rejection rate >10%%) instead "
+                             "of burning the remaining budget")
     parser.add_argument("--resume", type=str, default="")
     parser.add_argument("--cpu", action="store_true",
                         help="force the host CPU backend (dev parity with "
