@@ -168,6 +168,13 @@ class TrainConfig:
     # and the Python loader): 0 disables; the default holds ~4.6k decoded
     # 400px crops — prepared-crop datasets stop re-decoding every epoch
     decoded_cache_bytes: int = 2 * 1024**3
+    # "auto" loader upgrade: when the whole crop set fits this HBM budget as
+    # one uint8 stack (and the run is single-process), keep it device-resident
+    # and gather batches by index on-device (data/device_pool.py) — zero
+    # host decode and ~10^5 less host->device traffic on the step path (the
+    # axon relay leaks every transfer host-side; see the module docstring).
+    # 0 disables the device pool.
+    device_pool_budget_bytes: int = 2 * 1024**3
     epochs: int = 1298
     lr: float = 2e-4
     betas: Tuple[float, float] = (0.9, 0.99)

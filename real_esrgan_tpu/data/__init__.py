@@ -3,3 +3,4 @@ from real_esrgan_tpu.data.dataset import (
     build_eval_datasets,
 )
 from real_esrgan_tpu.data.prefetcher import CPUPrefetcher, DevicePrefetcher
+from real_esrgan_tpu.data.device_pool import DevicePoolLoader, build_pool_array

@@ -47,6 +47,8 @@ class DevicePrefetcher:
         return len(self.iterable)
 
     def _put(self, batch):
+        if isinstance(batch, jax.Array):
+            return batch  # already device-resident (DevicePoolLoader)
         if self.sharding is not None:
             if jax.process_count() > 1:
                 # multi-host: this host holds only its shard of the global

@@ -21,6 +21,29 @@ trap 'rm -f "$LOCK"' EXIT
 
 note() { echo "[inenv10 $(date +%H:%M:%S)] $*"; }
 
+# run_stage <budget_s> <cmd...> — elastic restart loop.  The trainers are
+# crash-recoverable by design (--resume auto / --resume-g auto picks up the
+# newest checkpoint), and two non-fatal failure classes are EXPECTED on this
+# machine: relay hiccups ("remote_compile: response body closed") and the
+# rc=4 host-RAM failsafe (utils/hostmem.py).  Loop until the stage finishes
+# (rc=0), declares divergence (rc=3, not retryable), or the budget runs out.
+run_stage() {
+  local deadline=$(( $(date +%s) + $1 )); shift
+  local rc attempt=0
+  while :; do
+    attempt=$((attempt + 1))
+    local left=$(( deadline - $(date +%s) ))
+    if [ "$left" -le 120 ]; then note "stage budget exhausted"; return 124; fi
+    timeout "$left" "$@"; rc=$?
+    case $rc in
+      0|3) return $rc ;;
+      124) note "stage hit its wall-clock budget"; return 124 ;;
+    esac
+    note "trainer exited rc=$rc (attempt $attempt); elastic resume in 15s"
+    sleep 15
+  done
+}
+
 score() { # score <tag> <weights> [extra eval_pair args...]
   local tag=$1 weights=$2; shift 2
   for set in degraded clean; do
@@ -65,15 +88,15 @@ fi
 #     at step 106;
 #   abort-on-storm — a diverged run exits rc=3 instead of burning 4 hours.
 note "stage 1: ESRNet from scratch on InEnv10 (elastic resume auto)"
-timeout 14400 python train_realesrnet.py \
+run_stage "${S1_BUDGET:-14400}" python train_realesrnet.py \
     --train-dir data/InEnv10/train --valid-dir data/InEnv10/valid \
     --test-lr-dir data/InEnv10/eval/LRbicx4 \
     --test-hr-dir data/InEnv10/eval/GTmod4 \
     --exp-name RealESRNet_inenv10 \
-    --resume auto --epochs 700 --batch-size 16 \
+    --resume auto --epochs "${S1_EPOCHS:-700}" --batch-size 16 \
     --lr 1e-4 --warmup-steps 500 --abort-on-storm \
     --checkpoint-frequency 25 --no-tensorboard \
-    > /tmp/inenv10_s1.log 2>&1
+    >> /tmp/inenv10_s1.log 2>&1
 rc=$?
 note "stage 1 rc=$rc (log tail below)"; tail -3 /tmp/inenv10_s1.log
 if [ $rc -ne 0 ] && [ ! -e results/RealESRNet_inenv10/g_best ]; then
@@ -88,15 +111,17 @@ python scripts/snapshot_weights.py --checkpoint results/RealESRNet_inenv10/g_bes
 note "stage 2: GAN with trunk-feature content loss"
 # 70 epochs = 1,960 trunk-GAN steps (>= the 1.5k-step evidence target);
 # elastic resume can extend the run later if wall clock allows.
-timeout 9600 python train_realesrgan.py \
+run_stage "${S2_BUDGET:-9600}" python train_realesrgan.py \
     --train-dir data/InEnv10/train --valid-dir data/InEnv10/valid \
     --test-lr-dir data/InEnv10/eval/LRbicx4 \
     --test-hr-dir data/InEnv10/eval/GTmod4 \
     --exp-name RealESRGAN_inenv10 \
     --resume results/RealESRNet_inenv10/g_best --content-backbone trunk \
+    --resume-g auto --resume-d auto \
     --lr 5e-5 --warmup-steps 200 --abort-on-storm \
-    --epochs 70 --batch-size 16 --checkpoint-frequency 14 --no-tensorboard \
-    > /tmp/inenv10_s2.log 2>&1
+    --epochs "${S2_EPOCHS:-70}" --batch-size 16 \
+    --checkpoint-frequency 14 --no-tensorboard \
+    >> /tmp/inenv10_s2.log 2>&1
 rc=$?
 note "stage 2 rc=$rc (log tail below)"; tail -3 /tmp/inenv10_s2.log
 if [ $rc -ne 0 ] && [ ! -e results/RealESRGAN_inenv10/g_best ]; then

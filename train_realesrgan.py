@@ -39,6 +39,7 @@ from real_esrgan_tpu.train.esrnet import (
     make_eval_fn, notfinite_count, rollback_count,
 )
 from real_esrgan_tpu.train.guard import guard_from_dict, guard_to_dict
+from real_esrgan_tpu.utils import hostmem
 from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
 from train_realesrnet import SyntheticHRDataset, validate
 
@@ -129,12 +130,9 @@ def main(args) -> None:
         valid_ds, test_ds = build_eval_datasets(
             cfg.valid_image_dir, cfg.test_lr_image_dir, cfg.test_hr_image_dir,
             geo.crop_size, geo.scale)
-    if args.synthetic:
-        loader = ThreadedLoader(train_ds, local_batch, cfg.num_workers,
-                                seed=cfg.seed)
-    else:
-        from train_realesrnet import make_train_loader
-        loader = make_train_loader(train_ds, local_batch, cfg, geo)
+    from train_realesrnet import make_train_loader
+    loader = make_train_loader(train_ds, local_batch, cfg, geo, mesh=mesh,
+                               sharded=not args.synthetic)
     steps_per_epoch = len(loader)
     print(f"Loaded datasets: {len(train_ds)} train images, "
           f"{steps_per_epoch} steps/epoch, {n_dev} devices.")
@@ -416,6 +414,12 @@ def main(args) -> None:
                 ckpt_lib.save_checkpoint(path, jax.device_get(payload))
                 for dst in copies:
                     ckpt_lib.copy_checkpoint(path, dst)
+        # Host-RAM failsafe: exit restartable while the checkpoint just
+        # written is durable (see train_realesrnet.py / utils/hostmem.py).
+        if hostmem.host_memory_fraction() >= 0.8:
+            if saver is not None:
+                saver.wait()
+            hostmem.check_host_memory(0.8)
 
     if saver is not None:
         saver.wait()  # final checkpoints must be durable before exit
@@ -449,7 +453,7 @@ if __name__ == "__main__":
                         help="save every N epochs (0 = config default); "
                              "best/final epochs always save")
     parser.add_argument("--loader", type=str, default="",
-                        choices=("", "auto", "grain", "threads"),
+                        choices=("", "auto", "device", "grain", "threads"),
                         help="training data loader (default: config)")
     parser.add_argument("--train-dir", type=str, default="",
                         help="override config train_image_dir")

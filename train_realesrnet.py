@@ -37,18 +37,45 @@ from real_esrgan_tpu.train.esrnet import (
     make_train_step, notfinite_count, rollback_count,
 )
 from real_esrgan_tpu.train.guard import guard_from_dict, guard_to_dict
+from real_esrgan_tpu.utils import hostmem
 from real_esrgan_tpu.utils.meters import AverageMeter, ProgressMeter
 
 
-def make_train_loader(train_ds, batch: int, cfg, geo):
+def make_train_loader(train_ds, batch: int, cfg, geo, mesh=None,
+                      sharded: bool = True):
     """Build the training batch loader per ``cfg.loader``.
 
-    "auto" prefers the C++ decode+crop pool (GIL-free), falling back to
-    Python threads; "grain" opts into the deterministic resumable grain
-    pipeline; "threads" forces the Python loader.  ``batch`` is the PER-HOST
-    batch; on multi-host each process loads a disjoint shard."""
-    shard = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
+    "auto" first tries the device-resident pool (data/device_pool.py: whole
+    crop set in HBM, on-device index gather, zero step-path host traffic)
+    when the dataset fits ``cfg.device_pool_budget_bytes`` single-process;
+    then the C++ decode+crop pool (GIL-free), falling back to Python
+    threads.  "device" forces the pool (error if incompatible); "grain" opts
+    into the deterministic resumable grain pipeline; "threads" forces the
+    Python loader.  ``batch`` is the PER-HOST batch; on multi-host each
+    process loads a disjoint shard (``sharded=False`` keeps per-host local
+    iteration — the synthetic dataset is already per-host-sized)."""
+    shard = (dict(shard_id=jax.process_index(),
+                  num_shards=jax.process_count()) if sharded
+             else dict(shard_id=0, num_shards=1))
     mode = getattr(cfg, "loader", "auto")
+    pool_budget = getattr(cfg, "device_pool_budget_bytes", 0)
+    if mode == "device" and jax.process_count() > 1:
+        raise ValueError("--loader device is single-process only; multi-host "
+                         "pods keep the sharded host loaders")
+    if mode == "device" or (mode == "auto" and pool_budget
+                            and jax.process_count() == 1):
+        from real_esrgan_tpu.data import DevicePoolLoader, build_pool_array
+
+        pool = build_pool_array(train_ds, geo.hr_size,
+                                pool_budget or (1 << 62))
+        if pool is not None:
+            print(f"Using device-resident pool loader "
+                  f"({pool.nbytes / 1e6:.0f} MB in HBM).")
+            return DevicePoolLoader(pool, batch, seed=cfg.seed, mesh=mesh)
+        if mode == "device":
+            raise ValueError(
+                "--loader device: dataset exceeds device_pool_budget_bytes "
+                "or images are not uniformly hr_size-shaped")
     if mode == "grain":
         from real_esrgan_tpu.data import grain_loader
 
@@ -170,15 +197,15 @@ def main(args) -> None:
         train_ds = SyntheticHRDataset(geo.hr_size,
                                       length=args.steps_per_epoch * local_batch)
         valid_ds, test_ds = [], []
-        loader = ThreadedLoader(train_ds, local_batch, cfg.num_workers,
-                                seed=cfg.seed)
+        loader = make_train_loader(train_ds, local_batch, cfg, geo, mesh=mesh,
+                                   sharded=False)
     else:
         train_ds = TrainImageDataset(cfg.train_image_dir, geo.hr_size,
                                      cache_bytes=cfg.decoded_cache_bytes)
         valid_ds, test_ds = build_eval_datasets(
             cfg.valid_image_dir, cfg.test_lr_image_dir, cfg.test_hr_image_dir,
             geo.crop_size, geo.scale)
-        loader = make_train_loader(train_ds, local_batch, cfg, geo)
+        loader = make_train_loader(train_ds, local_batch, cfg, geo, mesh=mesh)
     steps_per_epoch = len(loader)
     print(f"Loaded datasets: {len(train_ds)} train images, "
           f"{steps_per_epoch} steps/epoch, {n_dev} devices.")
@@ -408,6 +435,13 @@ def main(args) -> None:
             ckpt_lib.save_checkpoint(epoch_path, jax.device_get(payload))
             for dst in copies:
                 ckpt_lib.copy_checkpoint(epoch_path, dst)
+        # Host-RAM failsafe (utils/hostmem.py): the relay leak wedged round
+        # 5's first run mid-checkpoint at 128 GB RSS.  Exit restartable
+        # (rc=4) while a just-saved checkpoint exists and allocation works.
+        if hostmem.host_memory_fraction() >= 0.8:
+            if saver is not None:
+                saver.wait()
+            hostmem.check_host_memory(0.8)
 
     if saver is not None:
         saver.wait()  # final checkpoint must be durable before exit
@@ -442,7 +476,7 @@ if __name__ == "__main__":
                         help="save every N epochs (0 = config default); "
                              "best/final epochs always save")
     parser.add_argument("--loader", type=str, default="",
-                        choices=("", "auto", "grain", "threads"),
+                        choices=("", "auto", "device", "grain", "threads"),
                         help="training data loader (default: config)")
     parser.add_argument("--train-dir", type=str, default="",
                         help="override config train_image_dir")
