@@ -51,7 +51,23 @@ A100_BASELINE_MP_PER_S = 10.0
 # while they occupy the chip.  Round 4's acceptance bench was captured during
 # a training run and recorded a 26%-regressed tiled number — the scoreboard
 # must refuse to measure a busy chip.
-TPU_BUSY_LOCK = "/tmp/tpu_busy.lock"
+TPU_BUSY_LOCK = os.environ.get("TPU_BUSY_LOCK", "/tmp/tpu_busy.lock")
+
+
+def _pid_gone(path: str) -> bool:
+    """True when the lock's recorded holder PID is no longer alive.
+
+    The holder writes "<tag> <pid> <ts>" and removes the lock on EXIT, but a
+    SIGKILL skips the trap — without this check a stale lock would stall the
+    driver's acceptance bench 30 min and then mislabel an idle-chip capture
+    as contended.  An unparsable lock is treated as live (fail safe: waiting
+    on a busy chip beats measuring one)."""
+    try:
+        with open(path) as f:
+            pid = int(f.read().split()[1])
+    except (OSError, IndexError, ValueError):
+        return False  # unparsable: assume live
+    return not os.path.exists(f"/proc/{pid}")
 
 
 def wait_for_idle_chip(max_wait_s: float = 1800.0) -> bool:
@@ -62,6 +78,14 @@ def wait_for_idle_chip(max_wait_s: float = 1800.0) -> bool:
     contended = False
     t0 = time.time()
     while os.path.exists(TPU_BUSY_LOCK):
+        if _pid_gone(TPU_BUSY_LOCK):
+            print(f"# removing stale {TPU_BUSY_LOCK} (holder PID dead)",
+                  flush=True)
+            try:
+                os.remove(TPU_BUSY_LOCK)
+            except OSError:
+                pass
+            break
         contended = True
         waited = time.time() - t0
         if waited >= max_wait_s:

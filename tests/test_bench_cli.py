@@ -14,6 +14,13 @@ import pytest
 import bench
 
 
+@pytest.fixture(autouse=True)
+def private_lock(monkeypatch, tmp_path):
+    # never wait on the REAL chip lock: a live training run holding
+    # /tmp/tpu_busy.lock would stall this CPU-only contract test 30 min
+    monkeypatch.setattr(bench, "TPU_BUSY_LOCK", str(tmp_path / "busy.lock"))
+
+
 @pytest.fixture
 def stubbed(monkeypatch):
     monkeypatch.setattr(bench, "measure", lambda b, s, i: 20.0)
